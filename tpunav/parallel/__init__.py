@@ -1,0 +1,4 @@
+"""Multi-device scale-out: meshes, sharded MPPI/particle axes."""
+
+from .mesh import rollout_mesh  # noqa: F401
+from .mppi_sharded import mppi_solve_sharded  # noqa: F401
