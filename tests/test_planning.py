@@ -1,0 +1,154 @@
+"""Planner tests: geometry primitives, grid labeling/inflation on the
+reference world, PRM + Theta*, D* Lite incremental traversal, and the
+potential-field planner.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpunav.planning import (
+    FREE,
+    INFLATED,
+    OBSTACLE,
+    DStarLite,
+    PlanningGrid,
+    PotentialField,
+    PotentialFieldConfig,
+    REFERENCE_MAP,
+    RoadMap,
+    load_obstacle_map,
+    min_dist_segment_point,
+    signed_min_dist,
+    theta_star,
+)
+
+# A simple 1x1 square obstacle centered at (2, 2) in a 4x4 world.
+SQUARE_MAP = load_obstacle_map(
+    [[[1.5, 1.5], [2.5, 1.5], [2.5, 2.5], [1.5, 2.5]]],
+    bounds=[[0.0, 4.0], [0.0, 4.0]], resolution=0.1)
+
+
+def test_min_dist_segment_point():
+    a = jnp.array([0.0, 0.0])
+    b = jnp.array([2.0, 0.0])
+    # Perpendicular case, endpoint case.
+    assert np.isclose(float(min_dist_segment_point(a, b,
+                                                   jnp.array([1.0, 1.0]))),
+                      1.0)
+    assert np.isclose(float(min_dist_segment_point(a, b,
+                                                   jnp.array([3.0, 0.0]))),
+                      1.0)
+    assert np.isclose(float(min_dist_segment_point(a, b,
+                                                   jnp.array([-2.0, 0.0]))),
+                      2.0)
+
+
+def test_signed_min_dist_leftward_normal():
+    # Left of the edge → positive (ref convention planner_utilities.cpp:
+    # 47-73).
+    a = jnp.array([0.0, 0.0])
+    b = jnp.array([1.0, 0.0])
+    cp = signed_min_dist(a, b, jnp.array([0.5, 0.7]))
+    assert float(cp.sign_d) > 0
+    assert bool(cp.on_seg)
+    cp2 = signed_min_dist(a, b, jnp.array([0.5, -0.7]))
+    assert float(cp2.sign_d) < 0
+    cp3 = signed_min_dist(a, b, jnp.array([2.0, 0.1]))
+    assert not bool(cp3.on_seg)
+
+
+def test_grid_labeling_square():
+    grid = PlanningGrid(SQUARE_MAP, inflation=0.1)
+    lab = grid.labels
+    iy, ix = grid.world_to_grid(np.array([2.0, 2.0]))
+    assert lab[iy, ix] == OBSTACLE          # center of the square
+    iy, ix = grid.world_to_grid(np.array([2.0, 2.58]))
+    assert lab[iy, ix] == INFLATED          # just outside (within 0.15)
+    iy, ix = grid.world_to_grid(np.array([1.0, 3.5]))
+    assert lab[iy, ix] == FREE
+    iy, ix = grid.world_to_grid(np.array([0.02, 2.0]))
+    assert lab[iy, ix] == INFLATED          # wall inflation
+
+
+def test_reference_world_grid():
+    # 3.4 x 4.8 m at 0.1 m → 34 x 48 cells (ref: plan.launch:22-49).
+    grid = PlanningGrid(REFERENCE_MAP, inflation=0.1)
+    assert grid.labels.shape == (48, 34)
+    assert (grid.labels == OBSTACLE).sum() > 50
+    assert (grid.labels == FREE).sum() > 200
+
+
+def test_prm_nodes_free_and_connected():
+    rm = RoadMap(SQUARE_MAP, n_nodes=60, k_neighbors=8, clearance=0.15,
+                 seed=3)
+    # All sampled nodes keep clearance from the square.
+    d = np.abs(rm.nodes - 2.0).max(axis=1)
+    assert (d > 0.5).all(), "node inside obstacle/inflation"
+    degrees = np.asarray([len(a) for a in rm.adjacency])
+    assert (degrees > 0).mean() > 0.9, "roadmap mostly disconnected"
+
+
+def test_theta_star_finds_path_around_obstacle():
+    rm = RoadMap(SQUARE_MAP, n_nodes=80, k_neighbors=10, clearance=0.15,
+                 seed=5)
+    s = rm.add_node([0.5, 0.5])
+    g = rm.add_node([3.5, 3.5])
+    assert s is not None and g is not None
+    path = theta_star(rm, s, g)
+    assert path is not None
+    assert np.allclose(path[0], [0.5, 0.5])
+    assert np.allclose(path[-1], [3.5, 3.5])
+    # Every path segment must be collision-free.
+    for i in range(len(path) - 1):
+        assert rm.edge_free(path[i], path[i + 1])
+    # Theta* shortcuts: path length near-optimal (straight-line would be
+    # ~4.24; around the square ≤ 6).
+    length = np.sum(np.linalg.norm(np.diff(path, axis=0), axis=1))
+    assert length < 6.0, length
+
+
+def test_dstar_reaches_goal_and_avoids_revealed_obstacles():
+    grid = PlanningGrid(SQUARE_MAP, inflation=0.1)
+    start = grid.world_to_grid(np.array([0.5, 0.5]))
+    goal = grid.world_to_grid(np.array([3.5, 3.5]))
+    d = DStarLite(grid, start, goal, vis_radius=4)
+    path = d.traverse()
+    assert path is not None
+    assert tuple(path[-1]) == tuple(goal)
+    # The executed path never enters an obstacle cell of the truth grid.
+    for iy, ix in path:
+        assert grid.labels[iy, ix] != OBSTACLE, (iy, ix)
+
+
+def test_dstar_blocked_world_pays_penalty():
+    # Wall spanning the whole world. The reference's edge cost into
+    # obstacles is a finite 1000 (dstar_light.cpp:444-461), so a fully
+    # blocked world still yields a (heavily penalized) crossing rather
+    # than failure — reproduce that semantic.
+    blocked = load_obstacle_map(
+        [[[1.0, 0.0], [1.4, 0.0], [1.4, 4.0], [1.0, 4.0]]],
+        bounds=[[0.0, 4.0], [0.0, 4.0]], resolution=0.1)
+    grid = PlanningGrid(blocked, inflation=0.1)
+    start = grid.world_to_grid(np.array([0.5, 2.0]))
+    goal = grid.world_to_grid(np.array([3.5, 2.0]))
+    d = DStarLite(grid, start, goal, vis_radius=50)  # full visibility
+    path = d.traverse(max_steps=3000)
+    assert path is not None
+    assert tuple(path[-1]) == tuple(goal)
+    # It crossed the wall (no free route exists).
+    assert any(grid.labels[iy, ix] != FREE for iy, ix in path)
+
+
+def test_potential_field_converges():
+    # Asymmetric start/goal: a perfectly symmetric head-on approach stalls
+    # in the classic potential-field local minimum (the reference planner
+    # shares that failure mode by construction).
+    pf = PotentialField(PotentialFieldConfig(step=0.05, qthresh=0.3),
+                        SQUARE_MAP)
+    path = pf.plan([0.5, 1.0], [3.5, 3.0], max_steps=500)
+    end = np.asarray(path[-1])
+    assert np.linalg.norm(end - [3.5, 3.0]) < 0.06, end
+    # Path stays out of the square obstacle.
+    for q in path:
+        q = np.asarray(q)
+        assert not (1.55 < q[0] < 2.45 and 1.55 < q[1] < 2.45), q

@@ -1,0 +1,199 @@
+"""RBPF grid-SLAM tests: distance transform vs brute force, grid
+integration semantics, likelihood field, ICP transform recovery, and a
+closed-loop particle-filter run in a simulated box world.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpunav.estimation.rbpf import (
+    GridConfig,
+    PFConfig,
+    best_particle,
+    icp_match,
+    integrate_scan,
+    likelihood_field_log,
+    pf_init,
+    pf_slam_step,
+)
+from tpunav.estimation.rbpf.grid import esdf, grid_init, world_to_cell
+from tpunav.estimation.rbpf.icp import ICPConfig, scan_to_points
+from tpunav.ops.distance_transform import euclidean_distance_field
+from tpunav.sim.lidar import box_segments, scan_segments
+
+SMALL_GRID = GridConfig(resolution=0.1, xmin=-2.0, xmax=2.0, ymin=-2.0,
+                        ymax=2.0, num_beams=90, beam_delta=2 * jnp.pi / 90,
+                        ray_samples=64)
+
+
+# ------------------------------------------------- distance transform ----
+
+def test_edt_matches_brute_force():
+    rng = np.random.default_rng(0)
+    occ = rng.random((24, 31)) < 0.08
+    occ[0, 0] = True  # ensure at least one seed
+    d = np.asarray(euclidean_distance_field(jnp.asarray(occ), 1.0, 1e9))
+    ys, xs = np.nonzero(occ)
+    pts = np.stack([ys, xs], -1)
+    gy, gx = np.mgrid[0:24, 0:31]
+    brute = np.min(
+        np.sqrt((gy[..., None] - pts[:, 0]) ** 2 +
+                (gx[..., None] - pts[:, 1]) ** 2), axis=-1)
+    assert np.allclose(d, brute, atol=1e-5)
+
+
+def test_edt_cap():
+    occ = jnp.zeros((10, 10), bool).at[0, 0].set(True)
+    d = euclidean_distance_field(occ, 0.5, 2.0)
+    assert float(d[9, 9]) == 2.0
+    assert float(d[0, 0]) == 0.0
+
+
+# ----------------------------------------------------------- grid --------
+
+def test_integrate_scan_marks_free_and_occupied():
+    cfg = SMALL_GRID
+    g = grid_init(cfg, jnp.float64)
+    # Robot at origin, wall to the east at x=1.0.
+    segs = jnp.asarray([[1.0, -2.0, 1.0, 2.0]], jnp.float64)
+    ranges = scan_segments(jnp.zeros(3, jnp.float64), segs,
+                           num_beams=cfg.num_beams,
+                           beam_delta=cfg.beam_delta,
+                           max_range=cfg.range_max)
+    g = integrate_scan(cfg, g, ranges, jnp.zeros(3, jnp.float64))
+    # Cell at the wall straight ahead → occupied (log-odds above prior).
+    iy, ix = world_to_cell(cfg, jnp.array([1.0, 0.0]))
+    assert float(g[iy, ix]) > cfg.l_occ - 1e-6
+    # Midway cell → free (log-odds below prior).
+    iy2, ix2 = world_to_cell(cfg, jnp.array([0.5, 0.0]))
+    assert float(g[iy2, ix2]) < cfg.l_prior
+    # Cell behind the wall (never touched) → prior.
+    iy3, ix3 = world_to_cell(cfg, jnp.array([1.5, 0.0]))
+    assert np.isclose(float(g[iy3, ix3]), cfg.l_prior)
+
+
+def test_likelihood_field_prefers_true_pose():
+    cfg = SMALL_GRID
+    segs = box_segments(-1.5, -1.5, 1.5, 1.5, jnp.float64)
+    true_pose = jnp.zeros(3, jnp.float64)
+    ranges = scan_segments(true_pose, segs, num_beams=cfg.num_beams,
+                           beam_delta=cfg.beam_delta,
+                           max_range=cfg.range_max)
+    g = integrate_scan(cfg, grid_init(cfg, jnp.float64), ranges, true_pose)
+    d = esdf(cfg, g)
+    lp_true = float(likelihood_field_log(cfg, d, ranges, true_pose))
+    lp_off = float(likelihood_field_log(
+        cfg, d, ranges, jnp.array([0.0, 0.3, 0.2])))
+    assert lp_true > lp_off
+
+
+def test_likelihood_field_empty_map_is_one():
+    cfg = SMALL_GRID
+    g = grid_init(cfg, jnp.float64)
+    d = esdf(cfg, g)
+    ranges = jnp.full((cfg.num_beams,), 1.0)
+    assert float(likelihood_field_log(cfg, d, ranges, jnp.zeros(3))) == 0.0
+
+
+# ------------------------------------------------------------ ICP --------
+
+def test_icp_recovers_known_transform():
+    cfg = ICPConfig()
+    segs = box_segments(-1.5, -1.5, 1.5, 1.5, jnp.float64)
+    pose_a = jnp.zeros(3, jnp.float64)
+    pose_b = jnp.array([0.05, 0.08, -0.03])  # [theta, x, y] motion
+    scan_a = scan_segments(pose_a, segs)
+    scan_b = scan_segments(pose_b, segs)
+    src, src_ok = scan_to_points(scan_b, 0.12, 3.5)
+    dst, dst_ok = scan_to_points(scan_a, 0.12, 3.5)
+    res = icp_match(cfg, src, src_ok, dst, dst_ok, jnp.zeros(3, jnp.float64))
+    assert bool(res.converged), float(res.rmse)
+    # The recovered transform is the motion delta (prev body frame).
+    assert np.allclose(np.asarray(res.transform), np.asarray(pose_b),
+                       atol=0.02), np.asarray(res.transform)
+
+
+def test_icp_fails_on_garbage():
+    cfg = ICPConfig()
+    key = jax.random.PRNGKey(0)
+    src = jax.random.uniform(key, (90, 2), jnp.float64, -2, 2)
+    dst = jax.random.uniform(jax.random.PRNGKey(9), (90, 2), jnp.float64,
+                             -2, 2)
+    ok = jnp.ones(90, bool)
+    res = icp_match(cfg, src, ok, dst, ok, jnp.zeros(3, jnp.float64))
+    assert not bool(res.converged)
+
+
+# -------------------------------------------------- particle filter ------
+
+def _pf_cfg():
+    return PFConfig(
+        num_particles=8, k_samples=10,
+        sample_range=(1e-6, 1e-5, 1e-5),
+        motion_noise=(1e-6, 1e-5, 1e-5),
+        grid=SMALL_GRID,
+        icp=ICPConfig(max_iter=20),
+    )
+
+
+def test_pf_closed_loop_box_world():
+    cfg = _pf_cfg()
+    segs = box_segments(-1.5, -1.5, 1.5, 1.5, jnp.float32)
+    u = jnp.array([0.02, 0.01], jnp.float32)   # [w, vx] per tick
+
+    def true_step(pose):
+        th = pose[0] + u[0]
+        return jnp.stack([th, pose[1] + u[1] * jnp.cos(th),
+                          pose[2] + u[1] * jnp.sin(th)])
+
+    step = jax.jit(lambda st, scan, cur, prev: pf_slam_step(
+        cfg, st, scan, u, cur, prev))
+
+    st = pf_init(cfg, seed=1)
+    true_pose = jnp.zeros(3, jnp.float32)
+    prev_odom = true_pose
+    for _ in range(25):
+        new_pose = true_step(true_pose)
+        scan = scan_segments(new_pose, segs, num_beams=cfg.grid.num_beams,
+                             beam_delta=cfg.grid.beam_delta,
+                             max_range=cfg.grid.range_max)
+        # Odometry = ground truth here (exact odometry, noisy filter).
+        st = step(st, scan, new_pose, prev_odom)
+        prev_odom = new_pose
+        true_pose = new_pose
+
+    pose, grid = best_particle(st)
+    err = np.linalg.norm(np.asarray(pose[1:]) - np.asarray(true_pose[1:]))
+    assert err < 0.15, f"pose error {err}, pose={np.asarray(pose)}"
+    # The map must have found occupied cells along the box walls.
+    occ = np.asarray(grid >= cfg.grid.l_occ)
+    assert occ.sum() > 20, f"too few occupied cells: {occ.sum()}"
+    iy, ix = world_to_cell(cfg.grid, jnp.array([1.5, 0.0]))
+    wall_band = occ[int(iy) - 1:int(iy) + 2, :]
+    assert wall_band.any(), "east wall not mapped"
+    # Weights remain finite. (They need not sum to 1 right after a
+    # resample: the reference clones particles WITH their weights,
+    # particle_filter.cpp:468-500, and renormalizes on the next update.)
+    assert np.isfinite(np.asarray(st.log_weights)).all()
+    assert np.exp(np.asarray(st.log_weights)).sum() > 0.1
+
+
+def test_pf_resampling_concentrates_weight():
+    # Force one particle to dominate → resampling clones it.
+    from tpunav.estimation.rbpf.particle_filter import _low_variance_resample
+    cfg = _pf_cfg()
+    st = pf_init(cfg, seed=0)
+    lw = jnp.full((cfg.num_particles,), -1e3).at[3].set(0.0)
+    st = st._replace(
+        log_weights=lw - jax.nn.logsumexp(lw),
+        poses=jnp.arange(cfg.num_particles * 3, dtype=jnp.float32
+                         ).reshape(-1, 3))
+    out = _low_variance_resample(cfg, st, jax.random.PRNGKey(0))
+    # The dominant particle is cloned into (almost) every slot. The
+    # reference's stride is 1/(P-1), so the final partition point lands
+    # past the cumulative sum and clamps to the LAST particle
+    # (particle_filter.cpp:489-497) — allow those edge slots.
+    matches = np.all(np.isclose(np.asarray(out.poses),
+                                np.asarray(st.poses[3])), axis=1)
+    assert matches.sum() >= 6, matches

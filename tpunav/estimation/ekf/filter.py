@@ -1,0 +1,356 @@
+"""EKF SLAM with known and unknown (Mahalanobis-gated) data association.
+
+TPU-native re-design of ``nuslam::EKF``
+(ref: nuslam/include/nuslam/ekf_filter.hpp:62-155,
+nuslam/src/nuslam/ekf_filter.cpp). Design mapping (SURVEY.md §2.3):
+
+- The state is a fixed-capacity dense vector (3 + 2n,) exactly like the
+  reference's ``state_size = 3 + 2*n`` (ekf_filter.cpp:103); the C++
+  ``lm_j`` seen-ID list becomes an ``active`` boolean mask so shapes stay
+  static under jit.
+- The per-measurement sequential update loops (ekf_filter.cpp:327-400 and
+  :163-280) become ``lax.scan`` over the measurement axis — each step is
+  dense (S×S) linear algebra that XLA maps onto the MXU.
+- Unknown-DA's per-landmark Mahalanobis loop (ekf_filter.cpp:163-208)
+  is vectorized over all n landmark slots at once (masked argmin).
+- Noise injection (motionUpdate's sampled w, predictedMeasurement's
+  sampled v — ekf_filter.cpp:505, :615) is optional: pass ``key`` for the
+  reference's stochastic behavior, omit it for deterministic parity mode.
+
+State convention matches the reference: state[0]=theta, state[1]=x,
+state[2]=y, then (lm_x, lm_y) pairs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core.angles import normalize_angle_pi
+from .spd import repair_if_needed
+
+_W_EPS = 1e-12  # almost_equal epsilon (ref: rigid2d.hpp:24-27)
+
+
+@dataclasses.dataclass(frozen=True)
+class EKFConfig:
+    """Filter configuration (ref: EKF ctor + initFilter,
+    ekf_filter.cpp:95-106, :442-497). Static under jit."""
+
+    num_landmarks: int = 25          # n — capacity
+    dmax: float = 1e7                # Mahalanobis "new landmark" gate
+    dmin: float = 2e4                # Mahalanobis "update" gate
+    pose_cov_init: float = 1e-10
+    lm_cov_init: float = 1e3
+    motion_noise: Tuple[float, float, float] = (1e-10, 1e-10, 1e-10)
+    measurement_noise: Tuple[float, float] = (1e-8, 1e-8)
+    # Conditional nearest-SPD covariance repair (ref: ekf_filter.cpp:
+    # 298-305, 330-335). True = reference-faithful eigh repair; False =
+    # cheap symmetrization only — the right choice on TPU where a
+    # per-measurement 2(3+2n)² eigh is latency-bound.
+    spd_repair: bool = True
+
+    @property
+    def state_size(self) -> int:
+        return 3 + 2 * self.num_landmarks
+
+
+class EKFState(NamedTuple):
+    state: jnp.ndarray    # (S,) [theta, x, y, m1x, m1y, ...]
+    cov: jnp.ndarray      # (S, S)
+    active: jnp.ndarray   # (n,) bool — replaces the C++ lm_j seen list
+    count: jnp.ndarray    # scalar int — N, number of tracked landmarks
+
+
+def ekf_init(cfg: EKFConfig, dtype=jnp.float64) -> EKFState:
+    """(ref: EKF::initFilter ekf_filter.cpp:442-497)."""
+    s = cfg.state_size
+    diag = jnp.concatenate([
+        jnp.full((3,), cfg.pose_cov_init, dtype=dtype),
+        jnp.full((2 * cfg.num_landmarks,), cfg.lm_cov_init, dtype=dtype),
+    ])
+    return EKFState(
+        state=jnp.zeros((s,), dtype=dtype),
+        cov=jnp.diag(diag),
+        active=jnp.zeros((cfg.num_landmarks,), dtype=bool),
+        count=jnp.asarray(0, dtype=jnp.int32),
+    )
+
+
+def _process_noise(cfg: EKFConfig, dtype):
+    s = cfg.state_size
+    q = jnp.zeros((s,), dtype=dtype)
+    q = q.at[:3].set(jnp.asarray(cfg.motion_noise, dtype=dtype))
+    return jnp.diag(q)
+
+
+def motion_update(cfg: EKFConfig, state, u, w):
+    """Unicycle odometry propagation with exact integration and an
+    ω≈0 branch (ref: EKF::motionUpdate ekf_filter.cpp:500-533). ``w`` is
+    the sampled (or zero) motion noise triple.
+
+    Faithful to the reference's exact (nonstandard) ordering: theta is
+    updated FIRST and the position increment is evaluated at the updated
+    heading.
+    """
+    om, vx = u[0], u[1]
+    theta = state[0]
+    small = jnp.abs(om) < _W_EPS
+    om_safe = jnp.where(small, 1.0, om)
+
+    theta_new = normalize_angle_pi(theta + jnp.where(small, 0.0, om) + w[0])
+    dx_small = vx * jnp.cos(theta_new)
+    dy_small = vx * jnp.sin(theta_new)
+    dx_gen = (-vx / om_safe) * jnp.sin(theta_new) + \
+        (vx / om_safe) * jnp.sin(theta_new + om)
+    dy_gen = (vx / om_safe) * jnp.cos(theta_new) - \
+        (vx / om_safe) * jnp.cos(theta_new + om)
+
+    state = state.at[0].set(theta_new)
+    state = state.at[1].add(jnp.where(small, dx_small, dx_gen) + w[1])
+    state = state.at[2].add(jnp.where(small, dy_small, dy_gen) + w[2])
+    return state
+
+
+def uncertainty_update(cfg: EKFConfig, state, cov, u):
+    """σ̄ = G Σ Gᵀ + Q with the sparse motion Jacobian G
+    (ref: EKF::uncertaintyUpdate ekf_filter.cpp:536-565; G uses the PRIOR
+    heading)."""
+    om, vx = u[0], u[1]
+    theta = state[0]
+    small = jnp.abs(om) < _W_EPS
+    om_safe = jnp.where(small, 1.0, om)
+
+    g10 = jnp.where(
+        small, -vx * jnp.sin(theta),
+        (-vx / om_safe) * jnp.cos(theta) + (vx / om_safe) * jnp.cos(theta + om))
+    g20 = jnp.where(
+        small, vx * jnp.cos(theta),
+        (-vx / om_safe) * jnp.sin(theta) + (vx / om_safe) * jnp.sin(theta + om))
+
+    s = cfg.state_size
+    G = jnp.eye(s, dtype=cov.dtype).at[1, 0].set(g10).at[2, 0].set(g20)
+    return G @ cov @ G.T + _process_noise(cfg, cov.dtype)
+
+
+def _predicted_measurement(state, j, v):
+    """ẑ = (range, bearing) of landmark slot j with additive sampled noise
+    (ref: EKF::predictedMeasurement ekf_filter.cpp:600-624 — note the
+    reference adds v_r to the range and folds v_b into the heading)."""
+    jx, jy = 2 * j + 3, 2 * j + 4
+    dx = state[jx] - state[1]
+    dy = state[jy] - state[2]
+    r_hat = jnp.sqrt(dx * dx + dy * dy) + v[0]
+    b_hat = normalize_angle_pi(
+        jnp.arctan2(dy, dx) - normalize_angle_pi(state[0] + v[1]))
+    return jnp.stack([r_hat, b_hat])
+
+
+def _measurement_jacobian(cfg: EKFConfig, state, j):
+    """Dense (2, S) range-bearing Jacobian for slot j
+    (ref: EKF::measurementJacobian ekf_filter.cpp:569-597)."""
+    jx, jy = 2 * j + 3, 2 * j + 4
+    dx = state[jx] - state[1]
+    dy = state[jy] - state[2]
+    q = dx * dx + dy * dy
+    sq = jnp.sqrt(q)
+    H = jnp.zeros((2, cfg.state_size), dtype=state.dtype)
+    H = H.at[0, 1].set(-dx / sq).at[0, 2].set(-dy / sq)
+    H = H.at[0, jx].set(dx / sq).at[0, jy].set(dy / sq)
+    H = H.at[1, 0].set(-1.0)
+    H = H.at[1, 1].set(dy / q).at[1, 2].set(-dx / q)
+    H = H.at[1, jx].set(-dy / q).at[1, jy].set(dx / q)
+    return H
+
+
+def _innovation(r, b, z_hat):
+    """δz with the reference's double-normalized bearing difference
+    (ref: ekf_filter.cpp:387-394)."""
+    db = normalize_angle_pi(normalize_angle_pi(b) -
+                            normalize_angle_pi(z_hat[1]))
+    return jnp.stack([r - z_hat[0], db])
+
+
+def _inv2(m):
+    """Closed-form 2x2 inverse (Ψ is always 2x2)."""
+    det = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    return jnp.array([[m[1, 1], -m[0, 1]], [-m[1, 0], m[0, 0]]],
+                     dtype=m.dtype) / det
+
+
+def _kalman_update(cfg: EKFConfig, state, cov, j, r, b, v):
+    """Gain, state, and covariance update at landmark slot j
+    (ref: ekf_filter.cpp:363-398)."""
+    R = jnp.diag(jnp.asarray(cfg.measurement_noise, dtype=cov.dtype))
+    z_hat = _predicted_measurement(state, j, v)
+    H = _measurement_jacobian(cfg, state, j)
+    psi = H @ cov @ H.T + R
+    K = cov @ H.T @ _inv2(psi)
+    dz = _innovation(r, b, z_hat)
+    new_state = state + K @ dz
+    I = jnp.eye(cfg.state_size, dtype=cov.dtype)
+    new_cov = (I - K @ H) @ cov
+    return new_state, new_cov
+
+
+def _new_landmark(state, j, r, b):
+    """Initialize slot j from (r, b) at the current estimated pose
+    (ref: EKF::newLandmark ekf_filter.cpp:651-660)."""
+    jx, jy = 2 * j + 3, 2 * j + 4
+    state = state.at[jx].set(state[1] + r * jnp.cos(b + state[0]))
+    return state.at[jy].set(state[2] + r * jnp.sin(b + state[0]))
+
+
+def _polar(meas_xy):
+    """Robot-frame (x, y) landmark measurements → (r, b)
+    (ref: EKF::measRobotToMap ekf_filter.cpp:627-648; the map-frame
+    conversion there is only used for logging/markers)."""
+    r = jnp.hypot(meas_xy[..., 0], meas_xy[..., 1])
+    b = jnp.arctan2(meas_xy[..., 1], meas_xy[..., 0])
+    return r, b
+
+
+def _noise_draws(cfg: EKFConfig, key, n_meas, dtype):
+    """Motion-noise triple + per-measurement measurement noise pairs.
+    key=None → zeros (deterministic parity mode)."""
+    if key is None:
+        return (jnp.zeros((3,), dtype=dtype),
+                jnp.zeros((n_meas, 2), dtype=dtype))
+    k1, k2 = jax.random.split(key)
+    w = jax.random.normal(k1, (3,), dtype) * jnp.sqrt(
+        jnp.asarray(cfg.motion_noise, dtype=dtype))
+    v = jax.random.normal(k2, (n_meas, 2), dtype) * jnp.sqrt(
+        jnp.asarray(cfg.measurement_noise, dtype=dtype))
+    return w, v
+
+
+def known_correspondence_slam(cfg: EKFConfig, st: EKFState, meas_xy, u,
+                              key: Optional[jax.Array] = None) -> EKFState:
+    """One SLAM step with known data association: measurement index i IS
+    landmark id i (ref: EKF::knownCorrespondenceSLAM ekf_filter.cpp:298-411).
+
+    meas_xy: (M, 2) landmark positions in the ROBOT frame; NaN rows mark
+    out-of-visibility landmarks and are skipped (ref: :341-345).
+    u: (≥2,) body twist [w, vx, ...].
+    """
+    n_meas = meas_xy.shape[0]
+    w, v = _noise_draws(cfg, key, n_meas, st.state.dtype)
+
+    def _repair(c):
+        return repair_if_needed(c) if cfg.spd_repair else 0.5 * (c + c.T)
+
+    cov0 = _repair(st.cov)  # pre-pass (ref: :300-305)
+    state_bar = motion_update(cfg, st.state, u, w)
+    # The motion Jacobian is evaluated at the PRIOR state (ref: :536-565).
+    sigma_bar = uncertainty_update(cfg, st.state, cov0, u)
+
+    valid = jnp.all(jnp.isfinite(meas_xy), axis=-1)
+    meas_safe = jnp.where(valid[:, None], jnp.nan_to_num(meas_xy), 0.0)
+    r_all, b_all = _polar(meas_safe)
+    idx = jnp.arange(n_meas, dtype=jnp.int32)
+
+    def step(carry, inp):
+        state, cov, active = carry
+        j, r, b, ok, v_i = inp
+        if cfg.spd_repair:
+            cov = jax.lax.cond(ok, repair_if_needed, lambda c: c, cov)
+        else:
+            cov = 0.5 * (cov + cov.T)
+
+        # Unseen id → initialize the landmark slot (ref: :349-360).
+        is_new = jnp.logical_and(ok, jnp.logical_not(active[j]))
+        state = jnp.where(is_new, _new_landmark(state, j, r, b), state)
+        active = active.at[j].set(jnp.logical_or(active[j], ok))
+
+        new_state, new_cov = _kalman_update(cfg, state, cov, j, r, b, v_i)
+        state = jnp.where(ok, new_state, state)
+        cov = jnp.where(ok, new_cov, cov)
+        return (state, cov, active), None
+
+    (state_bar, sigma_bar, active), _ = jax.lax.scan(
+        step, (state_bar, sigma_bar, st.active),
+        (idx, r_all, b_all, valid, v))
+
+    return EKFState(state=state_bar, cov=sigma_bar, active=active,
+                    count=jnp.sum(active).astype(jnp.int32))
+
+
+def slam_unknown_da(cfg: EKFConfig, st: EKFState, meas_xy, u,
+                    key: Optional[jax.Array] = None) -> EKFState:
+    """One SLAM step with unknown data association via Mahalanobis gating
+    (ref: EKF::SLAM ekf_filter.cpp:112-294).
+
+    Per measurement: distance to every tracked landmark (vectorized over
+    all n slots); d* = min. d* ≤ dmin → update that landmark; d* ≥ dmax →
+    add a new landmark (if capacity); in between → ignore (ref: :210-244).
+    """
+    n = cfg.num_landmarks
+    n_meas = meas_xy.shape[0]
+    w, v = _noise_draws(cfg, key, n_meas, st.state.dtype)
+
+    state_bar = motion_update(cfg, st.state, u, w)
+    sigma_bar = uncertainty_update(cfg, st.state, st.cov, u)
+
+    valid = jnp.all(jnp.isfinite(meas_xy), axis=-1)
+    meas_safe = jnp.where(valid[:, None], jnp.nan_to_num(meas_xy), 0.0)
+    r_all, b_all = _polar(meas_safe)
+    R = jnp.diag(jnp.asarray(cfg.measurement_noise, dtype=st.cov.dtype))
+    slots = jnp.arange(n, dtype=jnp.int32)
+
+    def maha(state, cov, k, r, b, v_i):
+        """Mahalanobis distance to landmark slot k (ref: :163-208)."""
+        z_hat = _predicted_measurement(state, k, v_i)
+        H = _measurement_jacobian(cfg, state, k)
+        psi = H @ cov @ H.T + R
+        dz = _innovation(r, b, z_hat)
+        return dz @ _inv2(psi) @ dz
+
+    def step(carry, inp):
+        state, cov, active, count = carry
+        r, b, ok, v_i = inp
+
+        d = jax.vmap(lambda k: maha(state, cov, k, r, b, v_i))(slots)
+        d = jnp.where(active, d, jnp.inf)          # only tracked landmarks
+        # N==0 → a single huge sentinel so the first landmark is added
+        # (ref: :146-157).
+        dstar = jnp.where(count == 0, 1e12, jnp.min(d))
+        jstar = jnp.argmin(d).astype(jnp.int32)
+
+        do_update = jnp.logical_and(ok, dstar <= cfg.dmin)
+        can_add = count < n
+        do_add = jnp.logical_and(
+            ok, jnp.logical_and(dstar >= cfg.dmax, can_add))
+
+        j = jnp.where(do_add, count.astype(jnp.int32), jstar)
+        state = jnp.where(do_add, _new_landmark(state, j, r, b), state)
+        active = active.at[j].set(jnp.logical_or(active[j], do_add))
+        count = count + do_add.astype(count.dtype)
+
+        apply = jnp.logical_and(jnp.logical_or(do_update, do_add), active[j])
+        new_state, new_cov = _kalman_update(cfg, state, cov, j, r, b, v_i)
+        state = jnp.where(apply, new_state, state)
+        cov = jnp.where(apply, new_cov, cov)
+        return (state, cov, active, count), None
+
+    (state_bar, sigma_bar, active, count), _ = jax.lax.scan(
+        step, (state_bar, sigma_bar, st.active, st.count),
+        (r_all, b_all, valid, v))
+
+    return EKFState(state=state_bar, cov=sigma_bar, active=active,
+                    count=count)
+
+
+def robot_pose(st: EKFState):
+    """Map→robot transform [theta, x, y]
+    (ref: EKF::getRobotState ekf_filter.cpp:414-419)."""
+    return st.state[:3]
+
+
+def landmark_map(cfg: EKFConfig, st: EKFState):
+    """(n, 2) landmark estimates + active mask
+    (ref: EKF::getMap ekf_filter.cpp:423-439)."""
+    lms = st.state[3:].reshape(cfg.num_landmarks, 2)
+    return lms, st.active

@@ -1,0 +1,199 @@
+"""Per-particle log-odds occupancy grid + likelihood-field sensor model.
+
+TPU-native re-design of ``bmapping::GridMapper``
+(ref: bmapping/include/bmapping/grid_mapper.hpp:117-246,
+bmapping/src/bmapping/grid_mapper.cpp — the repo's biggest file). Design
+mapping (SURVEY.md §2.4):
+
+- The per-beam Bresenham raycast (freeGridIndex + lineLow/lineHigh/
+  lineDiag, grid_mapper.cpp:549-807) becomes a dense sampled-DDA: every
+  beam takes a fixed number of samples along the ray, sample→cell indices
+  are deduplicated against the previous sample, and log-odds deltas are
+  scatter-added for ALL beams at once.
+- The hash-map of occupied cells + FMM ESDF rebuild (:272-435) becomes a
+  dense occupancy mask + the exact two-phase distance transform in
+  ``tpunav.ops.distance_transform`` (vmapped over particles).
+- ``likelihoodFieldModel`` (:69-133) keeps the exact mixture
+  z_hit·N(d;σ_hit²) + z_rand/z_max per beam, but accumulates in log space
+  (the C++ multiplies ~300 doubles down to ~1e-150, which would flush to
+  zero in f32).
+
+A grid is a plain (H, W) log-odds array; the map state/prob/hash fields of
+the C++ Cell struct are all derived views.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.distance_transform import euclidean_distance_field
+
+
+def _log_odds(p):
+    import math
+    return math.log(p / (1.0 - p))
+
+
+@dataclasses.dataclass(frozen=True)
+class GridConfig:
+    """Map + beam-model parameters (ref: GridMapper ctor
+    grid_mapper.cpp:37-63 and bmapping/launch/slam.launch:19-46)."""
+
+    resolution: float = 0.05
+    xmin: float = -2.0
+    xmax: float = 2.0
+    ymin: float = -2.0
+    ymax: float = 2.0
+    prior: float = 0.5
+    prob_occ: float = 0.90
+    prob_free: float = 0.35
+    max_occ_dist: float = 10.0
+    # Beam-model mixture (slam.launch:40-44); must sum to 1 with z_short.
+    z_hit: float = 0.95
+    z_short: float = 0.0
+    z_max: float = 0.04
+    z_rand: float = 0.01
+    sigma_hit: float = 0.5
+    # Lidar geometry (bmapping/config/LDS_01_lidar.yaml).
+    num_beams: int = 360
+    beam_min: float = 0.0
+    beam_delta: float = jnp.pi / 180.0
+    range_min: float = 0.12
+    range_max: float = 3.5
+    # DDA samples per beam; at 128 samples a 3.5 m beam steps 2.7 cm < the
+    # 5 cm cell size, so no cell on the ray is skipped.
+    ray_samples: int = 128
+
+    @property
+    def width(self) -> int:
+        import math
+        return int(math.ceil((self.xmax - self.xmin) / self.resolution))
+
+    @property
+    def height(self) -> int:
+        import math
+        return int(math.ceil((self.ymax - self.ymin) / self.resolution))
+
+    @property
+    def l_prior(self) -> float:
+        return _log_odds(self.prior)
+
+    @property
+    def l_occ(self) -> float:
+        return _log_odds(self.prob_occ)
+
+    @property
+    def l_free(self) -> float:
+        return _log_odds(self.prob_free)
+
+
+def grid_init(cfg: GridConfig, dtype=jnp.float32):
+    """Fresh log-odds grid at the prior (ref: map_ init
+    grid_mapper.cpp:57-58)."""
+    return jnp.full((cfg.height, cfg.width), cfg.l_prior, dtype=dtype)
+
+
+def world_to_cell(cfg: GridConfig, xy):
+    """World (…, 2) → integer cell (iy, ix), clamped into the map
+    (the reference throws on out-of-bounds, grid_mapper.cpp:817-825; we
+    clamp and let callers mask)."""
+    ix = jnp.floor((xy[..., 0] - cfg.xmin) / cfg.resolution).astype(jnp.int32)
+    iy = jnp.floor((xy[..., 1] - cfg.ymin) / cfg.resolution).astype(jnp.int32)
+    return (jnp.clip(iy, 0, cfg.height - 1), jnp.clip(ix, 0, cfg.width - 1))
+
+
+def scan_end_points(cfg: GridConfig, ranges, pose):
+    """Beam endpoints in the map frame + validity mask
+    (ref: LaserScanner::laserEndPoints sensor_model.cpp:43-112; the sensor
+    is assumed co-located with the base, Trs = identity as in the launch).
+    pose: (3,) [theta, x, y]."""
+    angles = pose[0] + cfg.beam_min + cfg.beam_delta * jnp.arange(
+        cfg.num_beams, dtype=ranges.dtype)
+    valid = jnp.logical_and(ranges >= cfg.range_min, ranges < cfg.range_max)
+    r = jnp.where(valid, ranges, cfg.range_min)
+    pts = jnp.stack([pose[1] + r * jnp.cos(angles),
+                     pose[2] + r * jnp.sin(angles)], axis=-1)
+    return pts, valid
+
+
+def integrate_scan(cfg: GridConfig, log_odds, ranges, pose):
+    """Fold one scan into the grid: free cells along each beam get
+    l_free − l_prior, each endpoint cell gets l_occ − l_prior
+    (ref: GridMapper::integrateScan grid_mapper.cpp:140-182)."""
+    h, w = cfg.height, cfg.width
+    pts, valid = scan_end_points(cfg, ranges, pose)
+    origin = pose[1:3]
+
+    # --- free-space samples along every beam (excludes the endpoint cell).
+    t = jnp.linspace(0.0, 1.0, cfg.ray_samples, endpoint=False,
+                     dtype=log_odds.dtype)
+    sample_pts = origin + t[None, :, None] * (pts[:, None, :] - origin)
+    iy, ix = world_to_cell(cfg, sample_pts)           # (B, S)
+    flat = iy * w + ix
+    eiy, eix = world_to_cell(cfg, pts)                # (B,)
+    eflat = eiy * w + eix
+
+    # Deduplicate consecutive samples that fall in the same cell, and drop
+    # samples already in the endpoint cell (Bresenham marks each cell once
+    # per beam and excludes the hit cell, grid_mapper.cpp:596-704).
+    first = jnp.concatenate(
+        [jnp.ones((flat.shape[0], 1), bool), flat[:, 1:] != flat[:, :-1]],
+        axis=1)
+    keep = jnp.logical_and(first, flat != eflat[:, None])
+    keep = jnp.logical_and(keep, valid[:, None])
+
+    grid_flat = log_odds.reshape(-1)
+    d_free = jnp.asarray(cfg.l_free - cfg.l_prior, log_odds.dtype)
+    d_occ = jnp.asarray(cfg.l_occ - cfg.l_prior, log_odds.dtype)
+    grid_flat = grid_flat.at[flat.reshape(-1)].add(
+        jnp.where(keep, d_free, 0.0).reshape(-1))
+    grid_flat = grid_flat.at[eflat].add(jnp.where(valid, d_occ, 0.0))
+    return grid_flat.reshape(h, w)
+
+
+def esdf(cfg: GridConfig, log_odds):
+    """Distance field to the nearest occupied cell (meters), capped at
+    max_occ_dist (ref: euclideanSignedDistanceField grid_mapper.cpp:333-435
+    — see tpunav.ops.distance_transform for the TPU formulation)."""
+    occ = log_odds >= cfg.l_occ
+    d = euclidean_distance_field(occ, cfg.resolution, cfg.max_occ_dist,
+                                 dtype=log_odds.dtype)
+    # A map with no occupied cell reads max_occ_dist everywhere, which the
+    # likelihood field uses as its "no obstacles yet" early-out
+    # (ref: grid_mapper.cpp:95-100 via the occ_cells_ hash).
+    return jnp.where(jnp.any(occ), d, cfg.max_occ_dist)
+
+
+def likelihood_field_log(cfg: GridConfig, dist_field, ranges, pose):
+    """log P(z | m, x) under the likelihood-field model
+    (ref: GridMapper::likelihoodFieldModel grid_mapper.cpp:69-133):
+    per valid beam, p_z = z_hit·N(d; σ_hit²) + z_rand/z_max where d is the
+    ESDF value at the beam endpoint; log-likelihoods sum over beams.
+
+    An all-free map (no occupied cell anywhere) returns log 1 = 0, like
+    the reference's occ_cells_ empty early-out (:95-100)."""
+    pts, valid = scan_end_points(cfg, ranges, pose)
+    iy, ix = world_to_cell(cfg, pts)
+    d = dist_field[iy, ix]
+    var = cfg.sigma_hit * cfg.sigma_hit
+    norm = 1.0 / jnp.sqrt(2.0 * jnp.pi * var)
+    pz = cfg.z_hit * norm * jnp.exp(-0.5 * d * d / var) + \
+        cfg.z_rand / cfg.z_max
+    logp = jnp.sum(jnp.where(valid, jnp.log(pz), 0.0))
+    any_occ = jnp.any(dist_field < cfg.max_occ_dist)
+    return jnp.where(any_occ, logp, 0.0)
+
+
+def occupancy_grid(cfg: GridConfig, log_odds):
+    """Export an int8 rviz-style map: -1 unknown, 0 free, 100 occupied,
+    otherwise prob·100 (ref: GridMapper::gridMap grid_mapper.cpp:185-226,
+    without the rviz transpose)."""
+    prob = 1.0 - 1.0 / (1.0 + jnp.exp(log_odds))
+    out = (prob * 100.0).astype(jnp.int8)
+    out = jnp.where(prob >= cfg.prob_occ, jnp.int8(100), out)
+    out = jnp.where(prob <= cfg.prob_free, jnp.int8(0), out)
+    out = jnp.where(jnp.abs(log_odds - cfg.l_prior) < 1e-6, jnp.int8(-1), out)
+    return out

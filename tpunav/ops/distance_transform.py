@@ -1,0 +1,57 @@
+"""Exact Euclidean distance transform for occupancy grids.
+
+TPU-native replacement for the reference's fast-marching ESDF
+(ref: bmapping/src/bmapping/grid_mapper.cpp:333-435 — a priority-queue BFS
+with a precomputed distance LUT, rebuilt from scratch for EVERY particle
+after EVERY scan; SURVEY.md §3.3 calls it the hottest loop). The
+data-parallel equivalent is the two-phase exact EDT:
+
+1. per-column 1D distances via two ``lax.scan`` passes (down + up);
+2. per-row exact lower envelope evaluated densely:
+   D(i,j)² = min_k (j-k)² + g(i,k)² — an (H, W, W) broadcast-min, which
+   XLA fuses into VPU code; at 80x80x80 per particle this is trivial
+   arithmetic and fully batches over the particle axis with ``vmap``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def column_distances(occ, big):
+    """Per-column vertical distance (in cells) to the nearest occupied
+    cell. occ: (H, W) bool. Returns (H, W) float."""
+    init = jnp.where(occ, 0.0, big)
+
+    def down(carry, row):
+        d = jnp.minimum(row, carry + 1.0)
+        return d, d
+
+    def up(carry, row):
+        d = jnp.minimum(row, carry + 1.0)
+        return d, d
+
+    big_row = jnp.full((occ.shape[1],), big, init.dtype)
+    _, d_down = jax.lax.scan(down, big_row, init)
+    _, d_up = jax.lax.scan(up, big_row, init[::-1])
+    return jnp.minimum(d_down, d_up[::-1])
+
+
+def euclidean_distance_field(occ, resolution: float, max_dist: float,
+                             dtype=jnp.float32):
+    """(H, W) distance in METERS to the nearest occupied cell, capped at
+    ``max_dist`` (ref default max_occ_dist_=10.0, grid_mapper.cpp:49).
+
+    Exact Euclidean metric — same field the reference's FMM produces
+    (its LUT enumerates integer offsets, grid_mapper.cpp:257-269).
+    """
+    h, w = occ.shape
+    big = jnp.asarray(h + w + 2.0, dtype=dtype)
+    g = column_distances(occ, big)                 # (H, W)
+    j = jnp.arange(w)
+    # (W_out, W_src) squared horizontal offsets.
+    off2 = (j[:, None] - j[None, :]).astype(g.dtype) ** 2
+    d2 = jnp.min(off2[None, :, :] + (g * g)[:, None, :], axis=-1)  # (H, W)
+    d = jnp.sqrt(d2) * resolution
+    return jnp.minimum(d, max_dist)

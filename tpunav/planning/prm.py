@@ -1,0 +1,216 @@
+"""Probabilistic roadmap + Theta* any-angle planner.
+
+TPU-native re-design of ``planner::RoadMap`` and ``planner::PRMPlanner``
+(ref: planner/src/planner/road_map.cpp, prm_planner.cpp). The geometry —
+free-space sampling rejection, edge-vs-polygon intersection and clearance
+— is evaluated as batched JAX kernels over ALL candidates at once; the
+A*/Theta* search itself is an inherently sequential priority-queue loop
+and runs on the host (SURVEY.md §7.5), exactly like the reference's
+sorted-vector open list (prm_planner.cpp:29-58).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .utilities import min_dist_segment_point, segments_intersect, signed_min_dist
+from .world import ObstacleMap
+
+
+def _all_edges(obs: ObstacleMap):
+    """Flatten every polygon edge into (E, 2, 2) arrays (padded edges are
+    zero-length at the first vertex and never intersect anything new)."""
+    a_list, b_list = [], []
+    for poly, n in zip(obs.polygons, obs.n_vertices):
+        for i in range(int(n)):
+            a_list.append(poly[i])
+            b_list.append(poly[(i + 1) % int(n)])
+    return np.asarray(a_list), np.asarray(b_list)
+
+
+class RoadMap:
+    """PRM construction (ref: RoadMap::constructRoadMap road_map.cpp:
+    189-216): rejection-sample n free nodes, connect k nearest neighbors
+    with collision-checked straight edges."""
+
+    def __init__(self, obs: ObstacleMap, n_nodes: int = 200,
+                 k_neighbors: int = 10, clearance: float = 0.15,
+                 seed: int = 0):
+        self.obs = obs
+        self.n_nodes = n_nodes
+        self.k = k_neighbors
+        self.clearance = clearance
+        (self.xmin, self.xmax), (self.ymin, self.ymax) = obs.bounds
+        self._edge_a, self._edge_b = _all_edges(obs)
+        self._key = jax.random.PRNGKey(seed)
+
+        self.nodes = self._sample_free(n_nodes)
+        self.adjacency: List[List[int]] = [[] for _ in range(n_nodes)]
+        self._connect()
+
+    # ---------------------------------------------------- geometry ----
+
+    def _point_free(self, pts):
+        """(N,) mask: not inside any polygon and at least ``clearance``
+        from every boundary (ref: free-space predicate road_map.cpp:
+        378-462 + the bounding-radius check)."""
+        pts = jnp.asarray(pts)
+        ea = jnp.asarray(self._edge_a)
+        eb = jnp.asarray(self._edge_b)
+        d = min_dist_segment_point(ea[None], eb[None], pts[:, None, :])
+        far = jnp.min(d, axis=1) > self.clearance
+
+        inside_any = jnp.zeros(pts.shape[0], bool)
+        for poly, n in zip(self.obs.polygons, self.obs.n_vertices):
+            poly = jnp.asarray(poly)
+            idx = jnp.arange(poly.shape[0])
+            nxt = jnp.where(idx + 1 >= int(n), 0, idx + 1)
+            valid = idx < int(n)
+            cp = signed_min_dist(poly[None], poly[nxt][None],
+                                 pts[:, None, :])
+            inside = jnp.all(jnp.logical_or(cp.sign_d >= -1e-12,
+                                            ~valid[None]), axis=1)
+            inside_any = jnp.logical_or(inside_any, inside)
+        wall_ok = ((pts[:, 0] > self.xmin + self.clearance) &
+                   (pts[:, 0] < self.xmax - self.clearance) &
+                   (pts[:, 1] > self.ymin + self.clearance) &
+                   (pts[:, 1] < self.ymax - self.clearance))
+        return np.asarray(far & ~inside_any & wall_ok)
+
+    def edge_free(self, a, b):
+        """Collision-free straight edge: no polygon-edge intersection and
+        clearance along the segment (ref: lnSegIntersectPolygon +
+        lnSegClose2Polygon road_map.cpp:16-119, 465-524)."""
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        free = self._edges_free(a[None], b[None])
+        return bool(free[0])
+
+    def _edges_free(self, a, b):
+        """Vectorized edge feasibility for (N, 2) segment endpoints."""
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        ea = jnp.asarray(self._edge_a)
+        eb = jnp.asarray(self._edge_b)
+        hit = segments_intersect(a[:, None, :], b[:, None, :],
+                                 ea[None], eb[None])           # (N, E)
+        any_hit = jnp.any(hit, axis=1)
+        # Clearance: polygon vertices must stay > clearance from the edge.
+        d = min_dist_segment_point(a[:, None, :], b[:, None, :],
+                                   ea[None])                   # (N, E)
+        too_close = jnp.min(d, axis=1) <= self.clearance
+        return np.asarray(~(any_hit | too_close))
+
+    # -------------------------------------------------- construction ----
+
+    def _sample_free(self, n):
+        """Rejection sampling via batched oversampling
+        (ref: road_map.cpp:189-198's one-at-a-time loop, vectorized)."""
+        nodes = []
+        while len(nodes) < n:
+            self._key, sub = jax.random.split(self._key)
+            cand = jax.random.uniform(
+                sub, (4 * n, 2), jnp.float64,
+                minval=jnp.asarray([self.xmin, self.ymin]),
+                maxval=jnp.asarray([self.xmax, self.ymax]))
+            ok = self._point_free(cand)
+            nodes.extend(np.asarray(cand)[ok].tolist())
+        return np.asarray(nodes[:n])
+
+    def _connect(self):
+        """k-nearest-neighbor edges, collision-checked in one batch
+        (ref: nearestNeighbors road_map.cpp:296-332)."""
+        d = np.linalg.norm(
+            self.nodes[:, None, :] - self.nodes[None, :, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        nn = np.argsort(d, axis=1)[:, :self.k]
+        pairs = [(i, j) for i in range(self.n_nodes) for j in nn[i]
+                 if i < j]
+        if not pairs:
+            return
+        a = self.nodes[[p[0] for p in pairs]]
+        b = self.nodes[[p[1] for p in pairs]]
+        free = self._edges_free(a, b)
+        for (i, j), ok in zip(pairs, free):
+            if ok:
+                self.adjacency[i].append(int(j))
+                self.adjacency[int(j)].append(i)
+
+    def add_node(self, p) -> Optional[int]:
+        """Insert start/goal configuration, connected to its nearest
+        visible neighbors (ref: addStartGoalConfig road_map.cpp:241-290)."""
+        p = np.asarray(p, np.float64)
+        if not self._point_free(p[None])[0]:
+            return None
+        idx = len(self.nodes)
+        d = np.linalg.norm(self.nodes - p, axis=-1)
+        order = np.argsort(d)[:max(self.k, 20)]
+        a = np.broadcast_to(p, (len(order), 2))
+        free = self._edges_free(a, self.nodes[order])
+        nbrs = [int(j) for j, ok in zip(order, free) if ok]
+        if not nbrs:
+            return None
+        self.nodes = np.vstack([self.nodes, p[None]])
+        self.adjacency.append(nbrs)
+        for j in nbrs:
+            self.adjacency[j].append(idx)
+        return idx
+
+
+def theta_star(rm: RoadMap, start_idx: int, goal_idx: int):
+    """Any-angle Theta* over the roadmap (ref: PRMPlanner
+    prm_planner.cpp:29-199): A* with the line-of-sight shortcut — when the
+    expanded node's parent sees the successor, connect the successor
+    straight to the parent (updateNode :110-143). Euclidean heuristic.
+
+    Returns the path as an (M, 2) array of node positions, or None.
+    """
+    n = len(rm.nodes)
+    g = np.full(n, np.inf)
+    parent = np.full(n, -1, np.int64)
+    g[start_idx] = 0.0
+    h = np.linalg.norm(rm.nodes - rm.nodes[goal_idx], axis=-1)
+    open_heap = [(h[start_idx], start_idx)]
+    closed = np.zeros(n, bool)
+
+    def dist(i, j):
+        return float(np.linalg.norm(rm.nodes[i] - rm.nodes[j]))
+
+    while open_heap:
+        _, s = heapq.heappop(open_heap)
+        if closed[s]:
+            continue
+        closed[s] = True
+        if s == goal_idx:
+            break
+        for s2 in rm.adjacency[s]:
+            if closed[s2]:
+                continue
+            p = parent[s]
+            # Theta* path-2 shortcut: grandparent line of sight.
+            if p >= 0 and rm.edge_free(rm.nodes[p], rm.nodes[s2]):
+                cand_g = g[p] + dist(p, s2)
+                cand_parent = p
+            else:
+                cand_g = g[s] + dist(s, s2)
+                cand_parent = s
+            if cand_g < g[s2]:
+                g[s2] = cand_g
+                parent[s2] = cand_parent
+                heapq.heappush(open_heap, (cand_g + h[s2], s2))
+
+    if not closed[goal_idx] and parent[goal_idx] < 0:
+        return None
+    path = [goal_idx]
+    while path[-1] != start_idx:
+        nxt = parent[path[-1]]
+        if nxt < 0:
+            return None
+        path.append(int(nxt))
+    return rm.nodes[path[::-1]]

@@ -1,0 +1,7 @@
+"""Built-in JAX simulators: diff-drive plant, landmark sensor, lidar.
+
+Replaces the reference's Gazebo plugin, analysis node, and fake encoders
+(SURVEY.md §2.8) with pure-JAX models usable inside jitted closed loops.
+"""
+
+from .landmark_sensor import landmark_measurements  # noqa: F401
