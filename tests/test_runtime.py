@@ -1,0 +1,187 @@
+"""Runtime tests: channels, scheduler, config, checkpointing, metrics,
+and the node-graph integration test mirroring the reference's rostest
+(ref: nuturtle_robot/test/turtle_interface_test_node.cpp — golden integer
+wheel commands through the kinematics chain).
+"""
+
+import os
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpunav.control import MPPIConfig
+from tpunav.core import diff_drive as dd
+from tpunav.runtime import (
+    Channel,
+    Metrics,
+    Node,
+    PoseError,
+    Scheduler,
+    load_pytree,
+    load_yaml_config,
+    save_pytree,
+)
+from tpunav.runtime.config import from_dict
+from tpunav.runtime.nodes import (
+    FakeDiffEncodersNode,
+    OdometerNode,
+    TurtleInterfaceNode,
+    WaypointDriverNode,
+)
+
+
+def test_channel_latest_wins():
+    ch = Channel("x")
+    assert ch.latest() is None
+    ch.publish(1)
+    ch.publish(2)
+    assert ch.latest() == 2
+    v, seen = ch.take_new(0)
+    assert v == 2 and seen == 2
+    v2, seen = ch.take_new(seen)
+    assert v2 is None
+
+
+def test_scheduler_deterministic_order():
+    log = []
+    s = Scheduler()
+    s.add(Node("a", 10.0, lambda t: log.append(("a", round(t, 3)))))
+    s.add(Node("b", 5.0, lambda t: log.append(("b", round(t, 3)))))
+    s.run(0.35)
+    # a fires at 0, .1, .2, .3; b at 0, .2 — ties broken by add order.
+    assert log[:3] == [("a", 0.0), ("b", 0.0), ("a", 0.1)]
+    assert ("b", 0.2) in log and ("a", 0.3) in log
+
+
+def test_yaml_config_reference_schema():
+    # Keys exactly as controller/config/mppi_params.yaml (incl. the
+    # reserved-word 'lambda' alias).
+    content = """
+lambda: 0.02
+max_wheel_vel: 6.35495
+ul_var: 0.5
+ur_var: 0.4
+horizon: 2.0
+dt: 0.02
+rollouts: 7
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml",
+                                     delete=False) as f:
+        f.write(content)
+        path = f.name
+    try:
+        cfg = load_yaml_config(MPPIConfig, path, rollouts=9)
+        assert cfg.lambda_ == 0.02
+        assert cfg.rollouts == 9          # override wins
+        assert cfg.steps == 100
+    finally:
+        os.unlink(path)
+
+
+def test_from_dict_ignores_unknown_keys():
+    cfg = from_dict(MPPIConfig, {"lambda": 0.5, "not_a_param": 1})
+    assert cfg.lambda_ == 0.5
+
+
+def test_checkpoint_roundtrip():
+    state = dd.init_state(0.3, 1.0, -2.0)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        save_pytree(path, state)
+        restored = load_pytree(path, dd.init_state())
+    assert np.allclose(np.asarray(restored.pose), np.asarray(state.pose))
+
+
+def test_metrics():
+    m = Metrics()
+    for v in [1.0, 2.0, 3.0]:
+        m.record("err", v)
+    s = m.summary()["err"]
+    assert s["mean"] == 2.0 and s["n"] == 3
+    pe = PoseError.between([0.1, 1.0, 2.0], [0.0, 0.5, 2.5])
+    assert np.isclose(pe.x_error, 0.5)
+    assert np.isclose(pe.y_error, -0.5)
+    assert np.isclose(pe.theta_error, 0.1)
+
+
+def _interface(cmd, wheel, sensor, joints):
+    return TurtleInterfaceNode(dd.TURTLEBOT3, cmd, wheel, sensor, joints)
+
+
+def test_turtle_interface_golden_wheel_commands():
+    # Golden integers from the reference integration test
+    # (turtle_interface_test_node.cpp:111-177).
+    cmd, wheel, sensor, joints = (Channel(), Channel(), Channel(),
+                                  Channel())
+    node = _interface(cmd, wheel, sensor, joints)
+
+    cmd.publish([0.0, 0.1, 0.0])          # pure translation
+    node.tick(0.0)
+    assert wheel.latest() == (126, 126)
+
+    cmd.publish([1.0, 0.0, 0.0])          # pure rotation
+    node.tick(0.0)
+    assert wheel.latest() == (-101, 101)
+
+    cmd.publish([1.0, 0.01, 0.0])         # mixed
+    node.tick(0.0)
+    assert wheel.latest() == (-88, 114)
+
+
+def test_turtle_interface_encoder_to_joint_state():
+    # 100 ticks → 2π·100/4096 = 0.153398 rad (ref: :227-231).
+    cmd, wheel, sensor, joints = (Channel(), Channel(), Channel(),
+                                  Channel())
+    node = _interface(cmd, wheel, sensor, joints)
+    sensor.publish((100, 100))
+    node.tick(0.0)
+    left, right = joints.latest()
+    assert np.isclose(left, 0.153398, atol=1e-5)
+    assert np.isclose(right, 0.153398, atol=1e-5)
+
+
+def test_turtle_interface_clamps():
+    cmd, wheel, sensor, joints = (Channel(), Channel(), Channel(),
+                                  Channel())
+    node = _interface(cmd, wheel, sensor, joints)
+    cmd.publish([100.0, 100.0, 0.0])      # absurd twist → clamped
+    node.tick(0.0)
+    l, r = wheel.latest()
+    assert abs(l) <= 265 and abs(r) <= 265
+
+
+def test_node_graph_closed_loop_waypoint():
+    """The reference's mppi_waypoints launch graph as a Scheduler run:
+    driver → cmd_vel → fake encoders → joint_states → odometer → odom →
+    driver (ref: nuturtle_robot/launch/mppi_waypoints.launch:14-40), with
+    a P-controller law (real_waypoint variant) for CPU test speed."""
+    from tpunav.core import waypoints as wp
+
+    cmd_vel, joints, odom = Channel(), Channel(), Channel()
+    encoders = FakeDiffEncodersNode(dd.TURTLEBOT3, cmd_vel, joints,
+                                    rate_hz=60.0)
+    odometer = OdometerNode(dd.TURTLEBOT3, joints, odom)
+
+    params = wp.make_params([[0.3, 0.0]], rot_vel=2.84, trans_vel=0.1,
+                            k_rot=2.0, dtype=jnp.float64)
+
+    def control_law(pose_xyt, wpt):
+        pose = jnp.asarray([pose_xyt[2], pose_xyt[0], pose_xyt[1]])
+        cmd, _ = wp.next_waypoint_closed_loop(params, wp.init_state(), pose)
+        return np.asarray(cmd)
+
+    driver = WaypointDriverNode(odom, cmd_vel, [[0.3, 0.0, 0.0]],
+                                control_law, goal_thresh=0.05)
+    driver.start()
+    odom.publish(np.zeros(3))
+
+    s = Scheduler()
+    s.add(Node("driver", 60.0, driver.tick))
+    s.add(Node("encoders", 60.0, encoders.tick))
+    s.add(Node("odometer", 60.0, odometer.tick))
+    s.run(20.0, until=lambda: driver.done)
+
+    assert driver.done, f"never reached waypoint; odom={odom.latest()}"
+    pose = np.asarray(odom.latest())
+    assert np.hypot(pose[1] - 0.3, pose[2]) < 0.06

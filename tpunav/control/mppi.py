@@ -67,7 +67,8 @@ def init_controls(cfg: MPPIConfig, dtype=jnp.float32):
     return jnp.broadcast_to(u0, (cfg.steps, 2)).copy()
 
 
-def rollout_losses(cfg: MPPIConfig, model: CartParams, x0, u_pert, xd):
+def rollout_losses(cfg: MPPIConfig, model: CartParams, x0, u_pert, xd,
+                   extra_cost=None):
     """Simulate all K rollouts and evaluate the (N, K) loss matrix.
 
     x0: (3,) state (x, y, theta); u_pert: (K, N, 2); xd: (3,) waypoint.
@@ -90,6 +91,11 @@ def rollout_losses(cfg: MPPIConfig, model: CartParams, x0, u_pert, xd):
     running = jnp.sum(err * err * q, axis=-1) + jnp.sum(us * us * r, axis=-1)
     terminal = jnp.sum(err[-1] * err[-1] * p1, axis=-1)
     loss = running.at[-1].set(terminal)
+    if extra_cost is not None:
+        # State-dependent extra running cost (e.g. the obstacle ESDF
+        # field, control/obstacle_cost.py) applied at every step,
+        # including the terminal row.
+        loss = loss + extra_cost(traj[..., :2])
     return loss, traj
 
 
@@ -127,14 +133,18 @@ def shift_controls(cfg: MPPIConfig, u):
     return jnp.concatenate([u[1:], u_init[None]], axis=0)
 
 
-def mppi_solve(cfg: MPPIConfig, model: CartParams, u, key, pose_xyt, xd):
+def mppi_solve(cfg: MPPIConfig, model: CartParams, u, key, pose_xyt, xd,
+               extra_cost=None):
     """One full MPPI solve (ref: MPPI::newControls mppi.cpp:72-140).
 
     u: (N, 2) nominal controls; pose_xyt: (3,) current state (x, y, theta);
-    xd: (3,) waypoint. Returns (wheel_cmd (2,), u_next (N, 2)).
+    xd: (3,) waypoint; extra_cost: optional (..., 2) positions → cost
+    (e.g. an obstacle distance field). Returns (wheel_cmd (2,),
+    u_next (N, 2)).
     """
     noise = sample_perturbations(cfg, key, dtype=u.dtype)
-    loss, _ = rollout_losses(cfg, model, pose_xyt, u[None] + noise, xd)
+    loss, _ = rollout_losses(cfg, model, pose_xyt, u[None] + noise, xd,
+                             extra_cost)
     j = cost_to_go(loss)
     u_new = update_controls(cfg, u, noise, j)
     return u_new[0], shift_controls(cfg, u_new)

@@ -1,0 +1,14 @@
+"""Host runtime: channels, node scheduler, config, metrics, checkpoints.
+
+Replaces the reference's ROS1 substrate (SURVEY.md §2.7, L1/L4/L5):
+roscpp pub/sub topics → in-process latest-wins channels; roslaunch/rosparam
+→ typed config dataclasses + YAML; ros::Rate loops → a deterministic
+virtual-time scheduler (or wall-clock); rosbag-less state → pytree
+checkpoints.
+"""
+
+from .channels import Channel, Node, Scheduler  # noqa: F401
+from . import nodes  # noqa: F401
+from .checkpoint import load_pytree, save_pytree  # noqa: F401
+from .config import load_yaml_config, save_yaml_config  # noqa: F401
+from .metrics import Metrics, PoseError  # noqa: F401
