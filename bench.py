@@ -4,9 +4,11 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference C++ controller sustains 50 solves/s at K=5, N=100
 on CPU (ref: controller/README.md:4) ≈ 2,500 rollouts/s (BASELINE.md).
-Here K=10,240 rollouts of a 50-step horizon run fully on-device: solves are
-chained in a lax.scan so the measurement reflects back-to-back device
-throughput with zero host round-trips.
+Here K=10,240 rollouts of a 50-step horizon run as ONE fused Pallas kernel
+per solve (sampling + RK4 + loss + cost-to-go + softmax update, all in
+VMEM — tpunav/ops/pallas_mppi.py); solves are chained in a lax.scan so the
+measurement reflects back-to-back device throughput with zero host
+round-trips.
 """
 
 import json
@@ -15,8 +17,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-from tpunav.control.mppi import MPPIConfig, init_controls, mppi_solve
+from tpunav.control.mppi import MPPIConfig, init_controls
 from tpunav.models.cart import CartParams
+from tpunav.ops.pallas_mppi import mppi_solve_fused
 
 K = 10_240
 N_STEPS = 50
@@ -30,28 +33,26 @@ def main():
     xd = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
 
     @jax.jit
-    def many_solves(u, key):
-        def body(carry, _):
-            u, key = carry
-            key, sub = jax.random.split(key)
-            cmd, u = mppi_solve(cfg, cart, u, sub, pose, xd)
-            return (u, key), cmd
+    def many_solves(u, seed0):
+        def body(carry, i):
+            (u,) = carry
+            cmd, u = mppi_solve_fused(cfg, cart, u, seed0 + i, pose, xd)
+            return (u,), cmd
 
-        (u, key), cmds = jax.lax.scan(
-            body, (u, key), None, length=SOLVES_PER_CALL)
-        return u, key, cmds
+        (u,), cmds = jax.lax.scan(
+            body, (u,), jnp.arange(SOLVES_PER_CALL))
+        return u, cmds
 
     u = init_controls(cfg)
-    key = jax.random.PRNGKey(0)
 
     # Warmup / compile.
-    u, key, cmds = many_solves(u, key)
+    u, cmds = many_solves(u, 0)
     jax.block_until_ready(cmds)
 
     reps = 5
     t0 = time.perf_counter()
-    for _ in range(reps):
-        u, key, cmds = many_solves(u, key)
+    for r in range(reps):
+        u, cmds = many_solves(u, r + 1)
     jax.block_until_ready(cmds)
     dt = time.perf_counter() - t0
 
@@ -59,7 +60,7 @@ def main():
     rollouts_per_s = solves_per_s * K
     print(json.dumps({
         "metric": f"mppi_rollouts_per_sec_per_chip (K={K}, H={N_STEPS} steps,"
-                  f" {solves_per_s:.1f} solves/s)",
+                  f" {solves_per_s:.1f} solves/s, fused pallas)",
         "value": round(rollouts_per_s, 1),
         "unit": "rollouts/s",
         "vs_baseline": round(rollouts_per_s / 2500.0, 2),

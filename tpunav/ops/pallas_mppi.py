@@ -1,0 +1,210 @@
+"""Fused MPPI solve as a single Pallas TPU kernel.
+
+The XLA path (tpunav.control.mppi) lowers the solve to a scan whose carry
+round-trips HBM every horizon step plus separate kernels for sampling,
+cost-to-go, and the softmax update. Here the WHOLE solve — Gaussian
+sampling (on-core PRNG + Box-Muller), K-wide RK4 rollouts, the LQR loss,
+the reverse cost-to-go accumulation, and the softmax-weighted control
+update (ref semantics: controller/src/controller/mppi.cpp:72-140) — is one
+kernel with every rollout resident in VMEM:
+
+- K rollouts are laid out as an (S, 128) block (S = K/128 sublanes), the
+  natural VPU shape; all per-step math is elementwise on that block.
+- Noise is generated inside the kernel (pltpu.prng_random_bits →
+  Box-Muller), so the (K, N, 2) perturbation tensor never touches HBM.
+- loss/cost-to-go live in VMEM scratch; the only HBM traffic for the
+  entire solve is u (N,2) in and u_new (N,2) out — ~800 bytes.
+
+Throughput at K=10240, N=50 is bounded by VPU transcendentals
+(8 sin/cos per RK4 step), not bandwidth — the fused kernel exists to kill
+the XLA path's per-step kernel dispatch + carry traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..control.mppi import MPPIConfig, shift_controls
+from ..models.cart import CartParams
+
+_LANES = 128
+
+
+def _uniform01(shape):
+    """Uniform in (0, 1] from raw PRNG bits: stuff 23 random mantissa bits
+    under exponent 0 → [1, 2), then 2 - f (int-only ops + bitcast; Mosaic
+    has no uint→float cast)."""
+    bits = pltpu.prng_random_bits(shape)
+    mant = jnp.bitwise_and(bits, jnp.int32(0x7FFFFF))
+    f = pltpu.bitcast(jnp.bitwise_or(mant, jnp.int32(0x3F800000)),
+                      jnp.float32)
+    return 2.0 - f  # (0, 1] — safe for log
+
+
+def _box_muller(shape):
+    """Two independent standard-normal blocks of ``shape``."""
+    u1 = _uniform01(shape)
+    u2 = _uniform01(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    ang = (2.0 * jnp.pi) * u2
+    return r * jnp.cos(ang), r * jnp.sin(ang)
+
+
+def _cart_derivs(wr, wb, th, ul, ur):
+    fwd = (0.5 * wr) * (ul + ur)
+    return fwd * jnp.cos(th), fwd * jnp.sin(th), (wr / wb) * (ur - ul)
+
+
+def _mppi_kernel(cfg: MPPIConfig, model: CartParams, sub: int,
+                 external_noise: bool, *refs):
+    if external_noise:
+        (u_ref, pose_ref, xd_ref, seed_ref, en0_ref, en1_ref, uout_ref,
+         n0_ref, n1_ref, loss_ref) = refs
+    else:
+        (u_ref, pose_ref, xd_ref, seed_ref, uout_ref,
+         n0_ref, n1_ref, loss_ref) = refs
+
+    n = cfg.steps
+    wr, wb = model.wheel_radius, model.wheel_base
+    dt = cfg.dt
+    sig0 = float(cfg.ul_var) ** 0.5
+    sig1 = float(cfg.ur_var) ** 0.5
+    shape = (sub, _LANES)
+
+    if not external_noise:
+        # Seed the on-core PRNG (skipped entirely in the external-noise
+        # parity path — prng ops don't lower on CPU/interpret).
+        pltpu.prng_seed(seed_ref[0, 0])
+
+    # ── Rollout all K trajectories over the horizon, loss row per step ──
+    def step(t, carry):
+        x, y, th = carry
+        if external_noise:
+            z0 = en0_ref[t]
+            z1 = en1_ref[t]
+        else:
+            g0, g1 = _box_muller(shape)
+            z0 = g0 * sig0
+            z1 = g1 * sig1
+        n0_ref[t] = z0
+        n1_ref[t] = z1
+        ul = u_ref[t, 0] + z0
+        ur = u_ref[t, 1] + z1
+
+        # Classical RK4 with zero-order-hold control (rk4.cpp:95-115).
+        k1x, k1y, k1t = _cart_derivs(wr, wb, th, ul, ur)
+        k2x, k2y, k2t = _cart_derivs(wr, wb, th + 0.5 * dt * k1t, ul, ur)
+        k3x, k3y, k3t = _cart_derivs(wr, wb, th + 0.5 * dt * k2t, ul, ur)
+        k4x, k4y, k4t = _cart_derivs(wr, wb, th + dt * k3t, ul, ur)
+        s = dt / 6.0
+        x = x + s * (k1x + 2.0 * (k2x + k3x) + k4x)
+        y = y + s * (k1y + 2.0 * (k2y + k3y) + k4y)
+        th = th + s * (k1t + 2.0 * (k2t + k3t) + k4t)
+
+        # Running LQR loss (mppi.hpp:87-93); the terminal row is
+        # overwritten after the loop (mppi.cpp:105 replaces, not adds).
+        ex = x - xd_ref[0, 0]
+        ey = y - xd_ref[0, 1]
+        et = th - xd_ref[0, 2]
+        q0, q1, q2 = cfg.q_diag
+        r0, r1 = cfg.r_diag
+        loss_ref[t] = (q0 * ex * ex + q1 * ey * ey + q2 * et * et +
+                       r0 * ul * ul + r1 * ur * ur)
+
+        @pl.when(t == n - 1)
+        def _():
+            p0, p1_, p2 = cfg.p1_diag
+            loss_ref[t] = p0 * ex * ex + p1_ * ey * ey + p2 * et * et
+
+        return x, y, th
+
+    x0 = jnp.full(shape, pose_ref[0, 0], jnp.float32)
+    y0 = jnp.full(shape, pose_ref[0, 1], jnp.float32)
+    t0 = jnp.full(shape, pose_ref[0, 2], jnp.float32)
+    jax.lax.fori_loop(0, n, step, (x0, y0, t0))
+
+    # ── Reverse cumulative sum → cost-to-go (mppi.cpp:15-25) ──
+    def acc(i, _):
+        t = n - 2 - i
+        loss_ref[t] = loss_ref[t] + loss_ref[t + 1]
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, acc, 0)
+
+    # ── Per-step softmax over K + weighted control update (mppi.cpp:
+    # 112-126). Each step reduces the (S, 128) block to scalars; u lives
+    # in SMEM so the updates are scalar stores.
+    def upd(t, _):
+        jt = loss_ref[t]
+        m = jnp.min(jt)
+        w = jnp.exp((m - jt) * (1.0 / cfg.lambda_)) + 1e-8
+        inv = 1.0 / jnp.sum(w)
+        du0 = jnp.sum(w * n0_ref[t]) * inv
+        du1 = jnp.sum(w * n1_ref[t]) * inv
+        lim = cfg.max_wheel_vel
+        uout_ref[t, 0] = jnp.clip(u_ref[t, 0] + du0, -lim, lim)
+        uout_ref[t, 1] = jnp.clip(u_ref[t, 1] + du1, -lim, lim)
+        return 0
+
+    jax.lax.fori_loop(0, n, upd, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "model", "interpret"))
+def _solve_update(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
+                  xd, noise=None, interpret=False):
+    """Run the fused kernel; returns the updated (N,2) controls pre-shift."""
+    if cfg.rollouts % _LANES != 0:
+        raise ValueError(f"rollouts must be a multiple of {_LANES}")
+    sub = cfg.rollouts // _LANES
+    n = cfg.steps
+    external = noise is not None
+
+    kern = functools.partial(_mppi_kernel, cfg, model, sub, external)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # u (N,2)
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # pose (1,3)
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # xd (1,3)
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # seed (1,1)
+    ]
+    args = [u.astype(jnp.float32),
+            pose_xyt.astype(jnp.float32).reshape(1, 3),
+            xd.astype(jnp.float32).reshape(1, 3),
+            jnp.asarray(seed, jnp.int32).reshape(1, 1)]
+    if external:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        args += [noise[..., 0].astype(jnp.float32),
+                 noise[..., 1].astype(jnp.float32)]
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, 2), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n, sub, _LANES), jnp.float32),   # noise left
+            pltpu.VMEM((n, sub, _LANES), jnp.float32),   # noise right
+            pltpu.VMEM((n, sub, _LANES), jnp.float32),   # loss / cost-to-go
+        ],
+        interpret=interpret,
+    )(*args)
+
+
+def mppi_solve_fused(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
+                     xd, noise=None, interpret=False):
+    """Drop-in fused replacement for :func:`tpunav.control.mppi.mppi_solve`.
+
+    ``seed`` is an int32 scalar (per-solve PRNG seed) instead of a jax
+    PRNG key — the kernel uses the on-core PRNG. Pass ``noise``
+    ((N, S, 128, 2) time-major std-normal scaled perturbations) to bypass
+    in-kernel sampling for deterministic parity tests.
+    Returns (wheel_cmd (2,), u_next (N, 2)) like ``mppi_solve``.
+    """
+    u_new = _solve_update(cfg, model, u, seed, pose_xyt, xd, noise,
+                          interpret)
+    return u_new[0], shift_controls(cfg, u_new)
