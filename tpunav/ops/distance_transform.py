@@ -32,7 +32,9 @@ def column_distances(occ, big):
         d = jnp.minimum(row, carry + 1.0)
         return d, d
 
-    big_row = jnp.full((occ.shape[1],), big, init.dtype)
+    # Derive the initial carry from ``init`` (not constants) so it picks
+    # up the same varying-axes type under shard_map.
+    big_row = jnp.full_like(init[0], big)
     _, d_down = jax.lax.scan(down, big_row, init)
     _, d_up = jax.lax.scan(up, big_row, init[::-1])
     return jnp.minimum(d_down, d_up[::-1])
