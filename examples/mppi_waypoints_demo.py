@@ -1,61 +1,70 @@
 """End-to-end demo: MPPI waypoint following with a simulated diff-drive plant.
 
 TPU-native equivalent of `roslaunch nuturtle_robot mppi_waypoints.launch`
-(ref: nuturtle_robot/src/mppi_waypoints_node.cpp): the MPPI controller, the
-fake-encoder plant, and the odometer collapse into one jitted tick — there
-are no process boundaries, and the whole tick is a single device program
-(eager per-op dispatch through the TPU tunnel costs ~100 ms/op, so the tick
-MUST be fused).
+(ref: nuturtle_robot/src/mppi_waypoints_node.cpp): controller, fake-encoder
+plant, odometer, AND the waypoint manager collapse into one device program
+(tpunav.control.waypoint_loop) — the host syncs once per chunk of 240
+ticks for progress reporting, not once per tick. (A per-tick host loop
+through a tunneled TPU pays ~100 ms/op in dispatch latency and runs ~3 Hz;
+the fused course runs the same 60 Hz control problem faster than real
+time.)
 """
 
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from tpunav.control import MPPIConfig, mppi_solve, init_controls
+from tpunav.control import MPPIConfig
+from tpunav.control.waypoint_loop import (
+    CourseConfig,
+    course_init,
+    run_course_chunked,
+)
 from tpunav.core import diff_drive as dd
 from tpunav.models.cart import CartParams
 
 
 def main():
-    cfg = MPPIConfig()  # reference defaults: K=5, N=100, dt=0.01
+    cfg = MPPIConfig(horizon=0.5, dt=0.01, rollouts=1024)
     cart = CartParams(dd.TURTLEBOT3.wheel_radius, dd.TURTLEBOT3.wheel_base)
-    tick = 1.0 / 60.0  # fake-encoder rate (ref: fake_diff_encoders_node.cpp:91)
-
-    @jax.jit
-    def step(u, key, state, wpt):
-        pose = dd.pose(state)                       # [theta, x, y]
-        pose_xyt = jnp.stack([pose[1], pose[2], pose[0]])
-        key, sub = jax.random.split(key)
-        cmd, u = mppi_solve(cfg, cart, u, sub, pose_xyt, wpt)
-        twist = dd.wheels_to_twist(dd.TURTLEBOT3, cmd)
-        state = dd.feedforward(dd.TURTLEBOT3, state, twist * tick)
-        dist = jnp.hypot(pose[1] - wpt[0], pose[2] - wpt[1])
-        return u, key, state, dist
-
-    course = [(0.5, 0.0, 0.0), (0.5, 0.5, 1.57), (0.0, 0.5, 3.14),
-              (0.0, 0.0, 0.0)]
-    u = init_controls(cfg)
-    key = jax.random.PRNGKey(0)
-    state = dd.init_state(0.0, 0.0, 0.0)
+    course = CourseConfig(goal_thresh=0.1, tick_dt=1.0 / 60.0,
+                          max_ticks=20_000)
+    waypoints = jnp.asarray(
+        [(0.5, 0.0, 0.0), (0.5, 0.5, 1.57), (0.0, 0.5, 3.14),
+         (0.0, 0.0, 0.0)], jnp.float32)
 
     print(f"devices: {jax.devices()}")
+    st = course_init(cfg, jnp.zeros(3), seed=0)
+
+    last = {"visits": 0, "t_first": None}
     t0 = time.time()
-    solves = 0
-    for wpt_i, wpt in enumerate(course):
-        wpt_arr = jnp.asarray(wpt, dtype=jnp.float32)
-        for i in range(1200):
-            u, key, state, dist = step(u, key, state, wpt_arr)
-            solves += 1
-            if float(dist) < 0.1:  # goal_thresh (ref: mppi_waypoints.launch)
-                print(f"reached waypoint {wpt_i} {wpt} after {i} ticks")
-                break
-        else:
-            raise SystemExit(f"failed to reach {wpt}: pose={dd.pose(state)}")
+
+    def report(st, path):
+        if last["t_first"] is None:
+            last["t_first"] = time.time()   # first chunk done → compiled
+        v = int(st.visits)
+        if v != last["visits"]:
+            pose = np.asarray(st.pose)
+            print(f"  visited {v}/{len(waypoints)} waypoints "
+                  f"(tick {int(st.ticks)}, pose [{pose[0]:.3f} "
+                  f"{pose[1]:.3f} {pose[2]:.3f}])")
+            last["visits"] = v
+
+    st = run_course_chunked(cfg, course, cart, waypoints, st,
+                            chunk=240, on_chunk=report)
     wall = time.time() - t0
-    print(f"{solves} solves in {wall:.1f}s = {solves / wall:.1f} Hz "
-          "(incl. compile + per-tick host sync)")
+    steady = time.time() - last["t_first"]
+    ticks = int(st.ticks)
+    sim_t = ticks / 60.0
+    steady_ticks = max(ticks - 240, 1)
+    print(f"course {'done' if bool(st.done) else 'INCOMPLETE'}: "
+          f"{ticks} ticks ({sim_t:.1f} s of 60 Hz control), K={cfg.rollouts}")
+    print(f"  total {wall:.1f} s wall (first chunk incl. compile "
+          f"{wall - steady:.1f} s); steady state "
+          f"{steady_ticks / steady:.0f} solves/s = "
+          f"{steady_ticks / 60.0 / steady:.1f}x real time")
 
 
 if __name__ == "__main__":
