@@ -7,6 +7,7 @@ wheel commands through the kinematics chain).
 import os
 import tempfile
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -185,3 +186,27 @@ def test_node_graph_closed_loop_waypoint():
     assert driver.done, f"never reached waypoint; odom={odom.latest()}"
     pose = np.asarray(odom.latest())
     assert np.hypot(pose[1] - 0.3, pose[2]) < 0.06
+
+
+# -------------------------------------------------------- profiling ------
+
+def test_solve_profiler_records_rate():
+    from tpunav.runtime import SolveProfiler
+
+    f = jax.jit(lambda x: jnp.sin(x).sum())
+    prof = SolveProfiler(f, name="toy")
+    for _ in range(5):
+        prof(jnp.ones(128))
+    s = prof.summary()
+    assert s["n"] == 5 and s["mean"] > 0
+    assert prof.hz() > 0
+
+
+def test_trace_context(tmp_path):
+    from tpunav.runtime import annotate, trace
+
+    with trace(str(tmp_path)):
+        with annotate("region"):
+            jax.block_until_ready(jax.jit(lambda x: x * 2)(jnp.ones(8)))
+    # A profile artifact was written.
+    assert any(tmp_path.rglob("*")), "no trace output produced"

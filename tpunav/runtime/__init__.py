@@ -12,3 +12,4 @@ from . import nodes  # noqa: F401
 from .checkpoint import load_pytree, save_pytree  # noqa: F401
 from .config import load_yaml_config, save_yaml_config  # noqa: F401
 from .metrics import Metrics, PoseError  # noqa: F401
+from .profiling import SolveProfiler, annotate, trace  # noqa: F401
