@@ -104,3 +104,40 @@ def test_turtle_rect_feedforward_returns_near_start():
     assert np.hypot(pose[1], pose[2]) < 0.1, pose
     assert abs((pose[0]) % (2 * np.pi)) < 0.15 or \
         abs((pose[0]) % (2 * np.pi) - 2 * np.pi) < 0.15
+
+
+# ------------------------------------------------------- turtle_way ------
+
+def test_turtle_way_pentagon():
+    """Pentagon follower: the internal model completes the cycle and the
+    plant tracks it (ref: tsim/src/turtle_way_node.cpp — PoseError stays
+    bounded when the plant integrates the same commands)."""
+    import numpy as np
+
+    from tpunav.core import diff_drive as dd
+    from tpunav.runtime.channels import Channel
+    from tpunav.sim.tsim import TurtleWay
+
+    # Pentagon (ref: tsim/config/turtle_way.yaml-style course).
+    pts = [(3.0, 2.0), (5.0, 2.5), (5.5, 4.0), (4.0, 5.0), (2.5, 4.0)]
+    pose_ch, cmd_ch = Channel("pose"), Channel("cmd_vel")
+    tw = TurtleWay(pts, rot_vel=1.0, trans_vel=1.5, frequency=60.0,
+                   pose_in=pose_ch, cmd_vel=cmd_ch)
+
+    # The "plant" integrates the published commands with the same model.
+    plant = dd.init_state(0.0, pts[0][0], pts[0][1])
+    seen = 0
+    for i in range(12000):
+        tw.tick(i / 60.0)
+        cmd, seen = cmd_ch.take_new(seen)
+        if cmd is not None:
+            import jax.numpy as jnp
+            plant = dd.feedforward(dd.TURTLEBOT3, plant,
+                                   jnp.asarray(cmd) * (1.0 / 60.0))
+        pose_ch.publish(np.asarray(dd.pose(plant)))
+        if tw.done:
+            break
+    assert tw.done, "pentagon cycle incomplete"
+    s = tw.metrics.summary()
+    # Model and plant integrate identical commands → tiny drift.
+    assert s["x_error"]["p99"] < 0.05 and s["y_error"]["p99"] < 0.05

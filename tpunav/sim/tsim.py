@@ -14,7 +14,7 @@ import dataclasses
 import numpy as np
 
 from ..runtime.channels import Channel
-from ..runtime.metrics import Metrics
+from ..runtime.metrics import Metrics, PoseError
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,3 +118,55 @@ class TurtleRectFeedForward:
                 self.cmd_vel.publish(twist)
                 return
             phase -= dur
+
+
+class TurtleWay:
+    """Pentagon waypoint follower with an internal feedforward model
+    (ref: tsim/src/turtle_way_node.cpp:152-193): drives the plant via the
+    ``Waypoints`` bang-bang law computed on an internal ``DiffDrive``
+    model, and publishes PoseError = |model − plant| each tick — the
+    reference's model-vs-turtlesim drift experiment."""
+
+    def __init__(self, waypoints, rot_vel: float, trans_vel: float,
+                 frequency: float, pose_in: Channel, cmd_vel: Channel,
+                 metrics: Metrics | None = None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..core import diff_drive as dd
+        from ..core import waypoints as wp
+
+        self._dd = dd
+        self._wp = wp
+        self.metrics = metrics or Metrics()
+        self.pose_in = pose_in
+        self.cmd_vel = cmd_vel
+        self.scale = 1.0 / frequency
+        self.params = wp.make_params(np.asarray(waypoints, np.float32),
+                                     rot_vel, trans_vel)
+        self.wstate = wp.init_state()
+        self.model = dd.init_state(
+            0.0, float(waypoints[0][0]), float(waypoints[0][1]))
+
+        def _tick(wstate, model):
+            pose = dd.pose(model)
+            cmd, wstate = wp.next_waypoint(self.params, wstate, pose)
+            model = dd.feedforward(dd.TURTLEBOT3, model, cmd * self.scale)
+            return cmd, wstate, model
+
+        self._step = jax.jit(_tick)
+
+    def tick(self, t: float) -> None:
+        cmd, self.wstate, self.model = self._step(self.wstate, self.model)
+        self.cmd_vel.publish(np.asarray(cmd, float))
+        plant_pose = self.pose_in.latest()
+        if plant_pose is not None:
+            model_pose = np.asarray(self._dd.pose(self.model), float)
+            err = PoseError.between(model_pose, np.asarray(plant_pose))
+            self.metrics.record("x_error", abs(err.x_error))
+            self.metrics.record("y_error", abs(err.y_error))
+            self.metrics.record("theta_error", abs(err.theta_error))
+
+    @property
+    def done(self) -> bool:
+        return bool(self.wstate.cycle_complete)

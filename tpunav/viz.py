@@ -1,0 +1,88 @@
+"""Visualization: maps, landmarks, obstacle worlds, paths → matplotlib.
+
+Replaces the reference's rviz publishing layer (SURVEY.md §5:
+draw_map node cylinder MarkerArrays nuslam/src/draw_map_node.cpp:59-102,
+draw_cont_map polygon line markers planner/src/draw_cont_map_node.cpp,
+OccupancyGrid / Path topics everywhere). Figures instead of topics: each
+helper draws onto a matplotlib Axes so demos compose them and save PNGs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _ax(ax=None):
+    if ax is None:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        _, ax = plt.subplots(figsize=(6, 6))
+    ax.set_aspect("equal")
+    return ax
+
+
+def draw_occupancy(grid_cfg, prob_grid, ax=None, cmap="gray_r"):
+    """Occupancy-probability grid (ref: GridMapper::gridMap rviz export,
+    grid_mapper.cpp:185-226). prob_grid: (H, W) in [0, 1]."""
+    ax = _ax(ax)
+    ax.imshow(np.asarray(prob_grid), origin="lower", cmap=cmap,
+              vmin=0.0, vmax=1.0,
+              extent=[grid_cfg.xmin, grid_cfg.xmax,
+                      grid_cfg.ymin, grid_cfg.ymax])
+    return ax
+
+
+def draw_landmarks(centers, radii=None, ax=None, color="tab:red",
+                   truth=None):
+    """Estimated cylinder landmarks (+ optional ground truth crosses)
+    (ref: draw_map_node.cpp cylinder markers)."""
+    import matplotlib.patches as mp
+
+    ax = _ax(ax)
+    centers = np.asarray(centers)
+    radii = np.full(len(centers), 0.05) if radii is None else \
+        np.asarray(radii)
+    for (x, y), r in zip(centers, radii):
+        ax.add_patch(mp.Circle((x, y), max(float(r), 0.02), fill=False,
+                               color=color, lw=1.5))
+    if truth is not None:
+        t = np.asarray(truth)
+        ax.plot(t[:, 0], t[:, 1], "+", color="k", ms=8, mew=1.5)
+    return ax
+
+
+def draw_world(obstacles, bounds=None, ax=None, color="tab:gray"):
+    """Polygonal obstacle world (ref: draw_cont_map_node.cpp line
+    markers). obstacles: list of (V, 2) vertex arrays."""
+    import matplotlib.patches as mp
+
+    ax = _ax(ax)
+    for poly in obstacles:
+        ax.add_patch(mp.Polygon(np.asarray(poly), closed=True,
+                                facecolor=color, alpha=0.6,
+                                edgecolor="k"))
+    if bounds is not None:
+        (x0, x1), (y0, y1) = bounds
+        ax.set_xlim(x0, x1)
+        ax.set_ylim(y0, y1)
+    return ax
+
+
+def draw_path(path, ax=None, color="tab:blue", label=None, lw=1.5):
+    """Trajectory polyline (ref: nav_msgs/Path publishing — slam/odom/
+    gazebo paths, nuslam/src/slam_node.cpp:343-392). path: (T, >=2) with
+    columns [x, y, ...]."""
+    ax = _ax(ax)
+    p = np.asarray(path)
+    ax.plot(p[:, 0], p[:, 1], color=color, label=label, lw=lw)
+    if label:
+        ax.legend(loc="upper right", fontsize=8)
+    return ax
+
+
+def save(ax, path: str, title: str = ""):
+    if title:
+        ax.set_title(title)
+    ax.figure.savefig(path, dpi=120, bbox_inches="tight")
+    return path
