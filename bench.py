@@ -15,6 +15,9 @@ import json
 import time
 
 import jax
+
+from tpunav.runtime import cache as _cache
+_cache.enable()
 import jax.numpy as jnp
 
 from tpunav.control.mppi import MPPIConfig, init_controls

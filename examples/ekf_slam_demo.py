@@ -10,6 +10,9 @@ README tables, nuslam/README.md:24-50)."""
 import time
 
 import jax
+
+from tpunav.runtime import cache as _cache
+_cache.enable()
 import jax.numpy as jnp
 
 from tpunav.estimation.ekf import (

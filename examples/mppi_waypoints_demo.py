@@ -13,6 +13,9 @@ time.)
 import time
 
 import jax
+
+from tpunav.runtime import cache as _cache
+_cache.enable()
 import jax.numpy as jnp
 import numpy as np
 

@@ -10,6 +10,9 @@ bmapping/README.md:33-47)."""
 import time
 
 import jax
+
+from tpunav.runtime import cache as _cache
+_cache.enable()
 import jax.numpy as jnp
 import numpy as np
 
