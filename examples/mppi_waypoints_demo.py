@@ -10,6 +10,7 @@ the fused course runs the same 60 Hz control problem faster than real
 time.)
 """
 
+import os
 import time
 
 import jax
@@ -19,24 +20,34 @@ _cache.enable()
 import jax.numpy as jnp
 import numpy as np
 
-from tpunav.control import MPPIConfig
 from tpunav.control.waypoint_loop import (
     CourseConfig,
     course_init,
     run_course_chunked,
 )
-from tpunav.core import diff_drive as dd
 from tpunav.models.cart import CartParams
+from tpunav.runtime.config import (
+    load_mppi_config,
+    load_robot_config,
+    load_waypoints,
+)
+
+CONFIGS = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 
 def main():
-    cfg = MPPIConfig(horizon=0.5, dt=0.01, rollouts=1024)
-    cart = CartParams(dd.TURTLEBOT3.wheel_radius, dd.TURTLEBOT3.wheel_base)
+    # Reference-schema yaml configs (same keys as the C++ stack's files;
+    # overrides play the role of per-node <param> tags). TPU-scale
+    # overrides: H=0.5 s, K=1024 instead of the CPU reference's K=5.
+    cfg = load_mppi_config(os.path.join(CONFIGS, "mppi_params.yaml"),
+                           horizon=0.5, rollouts=1024)
+    robot = load_robot_config(os.path.join(CONFIGS, "diff_params.yaml"))
+    cart = CartParams(robot.wheel_radius, robot.wheel_base)
     course = CourseConfig(goal_thresh=0.1, tick_dt=1.0 / 60.0,
                           max_ticks=20_000)
     waypoints = jnp.asarray(
-        [(0.5, 0.0, 0.0), (0.5, 0.5, 1.57), (0.0, 0.5, 3.14),
-         (0.0, 0.0, 0.0)], jnp.float32)
+        load_waypoints(os.path.join(CONFIGS, "real_waypoints.yaml")),
+        jnp.float32)
 
     print(f"devices: {jax.devices()}")
     st = course_init(cfg, jnp.zeros(3), seed=0)

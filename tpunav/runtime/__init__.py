@@ -10,6 +10,17 @@ checkpoints.
 from .channels import Channel, Node, Scheduler  # noqa: F401
 from . import nodes  # noqa: F401
 from .checkpoint import load_pytree, save_pytree  # noqa: F401
-from .config import load_yaml_config, save_yaml_config  # noqa: F401
+from .config import (  # noqa: F401
+    LidarConfig,
+    RobotConfig,
+    load_landmarks,
+    load_lidar_config,
+    load_mppi_config,
+    load_robot_config,
+    load_waypoints,
+    load_world,
+    load_yaml_config,
+    save_yaml_config,
+)
 from .metrics import Metrics, PoseError  # noqa: F401
 from .profiling import SolveProfiler, annotate, trace  # noqa: F401
