@@ -210,3 +210,15 @@ def test_trace_context(tmp_path):
             jax.block_until_ready(jax.jit(lambda x: x * 2)(jnp.ones(8)))
     # A profile artifact was written.
     assert any(tmp_path.rglob("*")), "no trace output produced"
+
+
+def test_distributed_single_host_noop():
+    """initialize() must not contact anything single-host; role helpers
+    report the local topology."""
+    from tpunav.runtime import distributed
+
+    assert distributed.initialize() is False
+    assert distributed.is_leader()
+    info = distributed.process_info()
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 1

@@ -9,6 +9,8 @@ checkpoints.
 
 from .channels import Channel, Node, Scheduler  # noqa: F401
 from . import nodes  # noqa: F401
+from . import slam_nodes  # noqa: F401
+from . import distributed  # noqa: F401
 from .checkpoint import load_pytree, save_pytree  # noqa: F401
 from .config import (  # noqa: F401
     LidarConfig,
