@@ -4,7 +4,7 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference C++ controller sustains 50 solves/s at K=5, N=100
 on CPU (ref: controller/README.md:4) ≈ 2,500 rollouts/s (BASELINE.md).
-Here K=10,240 rollouts of a 50-step horizon run as ONE fused Pallas kernel
+Here K=49,152 rollouts of a 50-step horizon run as ONE fused Pallas kernel
 per solve (sampling + RK4 + loss + cost-to-go + softmax update, all in
 VMEM — tpunav/ops/pallas_mppi.py); solves are chained in a lax.scan so the
 measurement reflects back-to-back device throughput with zero host
@@ -24,7 +24,7 @@ from tpunav.control.mppi import MPPIConfig, init_controls
 from tpunav.models.cart import CartParams
 from tpunav.ops.pallas_mppi import mppi_solve_fused
 
-K = 10_240
+K = 49_152
 N_STEPS = 50
 SOLVES_PER_CALL = 20
 

@@ -11,13 +11,19 @@ kernel with every rollout resident in VMEM:
 - K rollouts are laid out as an (S, 128) block (S = K/128 sublanes), the
   natural VPU shape; all per-step math is elementwise on that block.
 - Noise is generated inside the kernel (pltpu.prng_random_bits →
-  Box-Muller), so the (K, N, 2) perturbation tensor never touches HBM.
-- loss/cost-to-go live in VMEM scratch; the only HBM traffic for the
-  entire solve is u (N,2) in and u_new (N,2) out — ~800 bytes.
+  Box-Muller), so the (K, N, 2) perturbation tensor never touches HBM —
+  and never touches VMEM either: the softmax-update phase RE-SEEDS the
+  on-core PRNG and replays the identical stream instead of storing the
+  (N, S, 128) perturbation blocks. Only the loss/cost-to-go block lives
+  in scratch, so K scales to the VMEM limit (~50k rollouts at N=50)
+  rather than a third of it.
+- The only HBM traffic for the entire solve is u (N,2) in and u_new
+  (N,2) out — ~800 bytes.
 
-Throughput at K=10240, N=50 is bounded by VPU transcendentals
-(8 sin/cos per RK4 step), not bandwidth — the fused kernel exists to kill
-the XLA path's per-step kernel dispatch + carry traffic.
+Measured scaling is latency-dominated: the ~150 short sequential VPU ops
+(N rollout steps + N cost-to-go adds + N softmax reductions) cost more
+than the per-rollout math, so quadrupling K costs only ~20% — which is
+why the kernel maximizes K per chip instead of micro-optimizing flops.
 """
 
 from __future__ import annotations
@@ -55,19 +61,13 @@ def _box_muller(shape):
     return r * jnp.cos(ang), r * jnp.sin(ang)
 
 
-def _cart_derivs(wr, wb, th, ul, ur):
-    fwd = (0.5 * wr) * (ul + ur)
-    return fwd * jnp.cos(th), fwd * jnp.sin(th), (wr / wb) * (ur - ul)
-
-
 def _mppi_kernel(cfg: MPPIConfig, model: CartParams, sub: int,
                  external_noise: bool, *refs):
     if external_noise:
         (u_ref, pose_ref, xd_ref, seed_ref, en0_ref, en1_ref, uout_ref,
-         n0_ref, n1_ref, loss_ref) = refs
+         loss_ref) = refs
     else:
-        (u_ref, pose_ref, xd_ref, seed_ref, uout_ref,
-         n0_ref, n1_ref, loss_ref) = refs
+        (u_ref, pose_ref, xd_ref, seed_ref, uout_ref, loss_ref) = refs
 
     n = cfg.steps
     wr, wb = model.wheel_radius, model.wheel_base
@@ -76,35 +76,47 @@ def _mppi_kernel(cfg: MPPIConfig, model: CartParams, sub: int,
     sig1 = float(cfg.ur_var) ** 0.5
     shape = (sub, _LANES)
 
+    def noise_at(t):
+        """Per-step perturbation blocks. The internal path draws from the
+        on-core PRNG — deterministic given the seed, so the update phase
+        replays the identical stream instead of buffering (N,S,128)×2 in
+        VMEM (the external-noise parity path just reads its inputs; prng
+        ops don't lower on CPU/interpret)."""
+        if external_noise:
+            return en0_ref[t], en1_ref[t]
+        g0, g1 = _box_muller(shape)
+        return g0 * sig0, g1 * sig1
+
     if not external_noise:
-        # Seed the on-core PRNG (skipped entirely in the external-noise
-        # parity path — prng ops don't lower on CPU/interpret).
         pltpu.prng_seed(seed_ref[0, 0])
 
     # ── Rollout all K trajectories over the horizon, loss row per step ──
     def step(t, carry):
         x, y, th = carry
-        if external_noise:
-            z0 = en0_ref[t]
-            z1 = en1_ref[t]
-        else:
-            g0, g1 = _box_muller(shape)
-            z0 = g0 * sig0
-            z1 = g1 * sig1
-        n0_ref[t] = z0
-        n1_ref[t] = z1
+        z0, z1 = noise_at(t)
         ul = u_ref[t, 0] + z0
         ur = u_ref[t, 1] + z1
 
         # Classical RK4 with zero-order-hold control (rk4.cpp:95-115).
-        k1x, k1y, k1t = _cart_derivs(wr, wb, th, ul, ur)
-        k2x, k2y, k2t = _cart_derivs(wr, wb, th + 0.5 * dt * k1t, ul, ur)
-        k3x, k3y, k3t = _cart_derivs(wr, wb, th + 0.5 * dt * k2t, ul, ur)
-        k4x, k4y, k4t = _cart_derivs(wr, wb, th + dt * k3t, ul, ur)
+        # For the diff-drive cart, theta-dot depends only on the (held)
+        # controls, so k1t=k2t=k3t=k4t=w and the k2/k3 stage inputs are
+        # bitwise identical — evaluate 3 trig pairs instead of 4 and keep
+        # the exact accumulation expressions (k3 := k2) so results match
+        # the naive 4-stage kernel bit-for-bit.
+        w = (wr / wb) * (ur - ul)
+        fwd = (0.5 * wr) * (ul + ur)
+        k1x = fwd * jnp.cos(th)
+        k1y = fwd * jnp.sin(th)
+        th2 = th + 0.5 * dt * w
+        k2x = fwd * jnp.cos(th2)
+        k2y = fwd * jnp.sin(th2)
+        th4 = th + dt * w
+        k4x = fwd * jnp.cos(th4)
+        k4y = fwd * jnp.sin(th4)
         s = dt / 6.0
-        x = x + s * (k1x + 2.0 * (k2x + k3x) + k4x)
-        y = y + s * (k1y + 2.0 * (k2y + k3y) + k4y)
-        th = th + s * (k1t + 2.0 * (k2t + k3t) + k4t)
+        x = x + s * (k1x + 2.0 * (k2x + k2x) + k4x)
+        y = y + s * (k1y + 2.0 * (k2y + k2y) + k4y)
+        th = th + s * (w + 2.0 * (w + w) + w)
 
         # Running LQR loss (mppi.hpp:87-93); the terminal row is
         # overwritten after the loop (mppi.cpp:105 replaces, not adds).
@@ -138,14 +150,19 @@ def _mppi_kernel(cfg: MPPIConfig, model: CartParams, sub: int,
 
     # ── Per-step softmax over K + weighted control update (mppi.cpp:
     # 112-126). Each step reduces the (S, 128) block to scalars; u lives
-    # in SMEM so the updates are scalar stores.
+    # in SMEM so the updates are scalar stores. Re-seed and replay the
+    # PRNG stream for the perturbations (see noise_at).
+    if not external_noise:
+        pltpu.prng_seed(seed_ref[0, 0])
+
     def upd(t, _):
         jt = loss_ref[t]
+        z0, z1 = noise_at(t)
         m = jnp.min(jt)
         w = jnp.exp((m - jt) * (1.0 / cfg.lambda_)) + 1e-8
         inv = 1.0 / jnp.sum(w)
-        du0 = jnp.sum(w * n0_ref[t]) * inv
-        du1 = jnp.sum(w * n1_ref[t]) * inv
+        du0 = jnp.sum(w * z0) * inv
+        du1 = jnp.sum(w * z1) * inv
         lim = cfg.max_wheel_vel
         uout_ref[t, 0] = jnp.clip(u_ref[t, 0] + du0, -lim, lim)
         uout_ref[t, 1] = jnp.clip(u_ref[t, 1] + du1, -lim, lim)
@@ -187,8 +204,6 @@ def _solve_update(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((n, sub, _LANES), jnp.float32),   # noise left
-            pltpu.VMEM((n, sub, _LANES), jnp.float32),   # noise right
             pltpu.VMEM((n, sub, _LANES), jnp.float32),   # loss / cost-to-go
         ],
         interpret=interpret,
