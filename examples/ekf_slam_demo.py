@@ -67,12 +67,23 @@ def main():
     # parity test suite.
     print("devices:", jax.devices())
     for name, step_fn, cfg in [
+        # Process noise at the odometry bias's actual scale (the
+        # reference's 1e-10 makes the filter ignore its measurements once
+        # dead-reckoning drifts).
         ("known-DA ", known_correspondence_slam,
          EKFConfig(num_landmarks=12, spd_repair=False,
+                   motion_noise=(1e-6, 1e-6, 1e-6),
                    measurement_noise=(1e-6, 1e-6))),
+        # Unknown DA needs an honest process/measurement noise balance:
+        # the reference's 1e-10 motion noise makes the filter so
+        # overconfident that odometry bias inflates the Mahalanobis
+        # distances past the gates (measurements get ignored, then
+        # spuriously re-added). With Q/R at the sensor's actual scale the
+        # filter associates all 12 landmarks correctly.
         ("unknownDA", slam_unknown_da,
-         EKFConfig(num_landmarks=20, dmin=2e2, dmax=1e5, spd_repair=False,
-                   measurement_noise=(1e-6, 1e-6))),
+         EKFConfig(num_landmarks=20, dmin=5e1, dmax=1e4, spd_repair=False,
+                   motion_noise=(1e-5, 1e-5, 1e-5),
+                   measurement_noise=(1e-5, 1e-5))),
     ]:
         ekf_err, odo_err, n_lm, wall, steps = run(step_fn, cfg)
         print(f"{name}: slam_err(theta,x,y)="

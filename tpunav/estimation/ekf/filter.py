@@ -24,6 +24,7 @@ state[2]=y, then (lm_x, lm_y) pairs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -183,7 +184,16 @@ def _inv2(m):
 
 def _kalman_update(cfg: EKFConfig, state, cov, j, r, b, v):
     """Gain, state, and covariance update at landmark slot j
-    (ref: ekf_filter.cpp:363-398)."""
+    (ref: ekf_filter.cpp:363-398).
+
+    Covariance via the **Joseph form** (I−KH)σ̄(I−KH)ᵀ + KRKᵀ instead of
+    the reference's (I−KH)σ̄: the reference runs float64, where the
+    1e3 → 1e-8 covariance collapse of a freshly-initialized landmark
+    survives the naive form; in the framework's float32 it produces
+    negative variances (and from them negative Mahalanobis distances,
+    which the reference handles by *throwing*, ekf_filter.cpp:189-192).
+    Joseph is PSD by construction at any precision.
+    """
     R = jnp.diag(jnp.asarray(cfg.measurement_noise, dtype=cov.dtype))
     z_hat = _predicted_measurement(state, j, v)
     H = _measurement_jacobian(cfg, state, j)
@@ -192,7 +202,8 @@ def _kalman_update(cfg: EKFConfig, state, cov, j, r, b, v):
     dz = _innovation(r, b, z_hat)
     new_state = state + K @ dz
     I = jnp.eye(cfg.state_size, dtype=cov.dtype)
-    new_cov = (I - K @ H) @ cov
+    IKH = I - K @ H
+    new_cov = IKH @ cov @ IKH.T + K @ R @ K.T
     return new_state, new_cov
 
 
@@ -227,6 +238,22 @@ def _noise_draws(cfg: EKFConfig, key, n_meas, dtype):
     return w, v
 
 
+def _full_precision(fn):
+    """Run all matmuls inside ``fn`` at full float32 precision.
+
+    The filter's covariance algebra spans ~1e-10 .. 1e3; TPU's default
+    matmul precision (bfloat16 passes) destroys the innovation and
+    Mahalanobis scales, silently breaking gating. Reference parity (a
+    double-precision CPU EKF) requires full-precision products.
+    """
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+@_full_precision
 def known_correspondence_slam(cfg: EKFConfig, st: EKFState, meas_xy, u,
                               key: Optional[jax.Array] = None) -> EKFState:
     """One SLAM step with known data association: measurement index i IS
@@ -278,6 +305,7 @@ def known_correspondence_slam(cfg: EKFConfig, st: EKFState, meas_xy, u,
                     count=jnp.sum(active).astype(jnp.int32))
 
 
+@_full_precision
 def slam_unknown_da(cfg: EKFConfig, st: EKFState, meas_xy, u,
                     key: Optional[jax.Array] = None) -> EKFState:
     """One SLAM step with unknown data association via Mahalanobis gating
@@ -291,8 +319,14 @@ def slam_unknown_da(cfg: EKFConfig, st: EKFState, meas_xy, u,
     n_meas = meas_xy.shape[0]
     w, v = _noise_draws(cfg, key, n_meas, st.state.dtype)
 
+    def _repair(c):
+        # Same SPD maintenance as the known-DA path (ref: :300-305 runs
+        # it in EKF::SLAM too). Without at least symmetrization the
+        # (I−KH)σ̄ asymmetry grows and corrupts the Mahalanobis gates.
+        return repair_if_needed(c) if cfg.spd_repair else 0.5 * (c + c.T)
+
     state_bar = motion_update(cfg, st.state, u, w)
-    sigma_bar = uncertainty_update(cfg, st.state, st.cov, u)
+    sigma_bar = uncertainty_update(cfg, st.state, _repair(st.cov), u)
 
     valid = jnp.all(jnp.isfinite(meas_xy), axis=-1)
     meas_safe = jnp.where(valid[:, None], jnp.nan_to_num(meas_xy), 0.0)
@@ -301,16 +335,20 @@ def slam_unknown_da(cfg: EKFConfig, st: EKFState, meas_xy, u,
     slots = jnp.arange(n, dtype=jnp.int32)
 
     def maha(state, cov, k, r, b, v_i):
-        """Mahalanobis distance to landmark slot k (ref: :163-208)."""
+        """Mahalanobis distance to landmark slot k (ref: :163-208).
+        Clamped at 0 — the reference throws on a negative distance
+        (ekf_filter.cpp:189-192); with the Joseph update Ψ stays PSD and
+        the clamp only absorbs rounding."""
         z_hat = _predicted_measurement(state, k, v_i)
         H = _measurement_jacobian(cfg, state, k)
         psi = H @ cov @ H.T + R
         dz = _innovation(r, b, z_hat)
-        return dz @ _inv2(psi) @ dz
+        return jnp.maximum(dz @ _inv2(psi) @ dz, 0.0)
 
     def step(carry, inp):
         state, cov, active, count = carry
         r, b, ok, v_i = inp
+        cov = _repair(cov)
 
         d = jax.vmap(lambda k: maha(state, cov, k, r, b, v_i))(slots)
         d = jnp.where(active, d, jnp.inf)          # only tracked landmarks
