@@ -39,27 +39,39 @@ def main():
         return jnp.stack([th, pose[1] + u[1] * jnp.cos(th),
                           pose[2] + u[1] * jnp.sin(th)])
 
-    step = jax.jit(lambda st, scan, cur, prev: pf_slam_step(
-        cfg, st, scan, u, cur, prev))
+    n_steps = 120
+
+    # The WHOLE experiment — simulated drive, lidar raycast, and the RBPF
+    # update — runs as one device program (a lax.scan over steps): per-tick
+    # eager dispatch would pay a host↔device round trip per update, which
+    # dominates wall time through the TPU tunnel.
+    @jax.jit
+    def run(st, true_pose):
+        def body(carry, i):
+            st, true_pose, prev_odom = carry
+            new_pose = true_step(true_pose)
+            key = jax.random.fold_in(jax.random.PRNGKey(99), i)
+            scan = scan_segments(new_pose, segs, num_beams=grid.num_beams,
+                                 max_range=grid.range_max, key=key,
+                                 noise_std=0.002)
+            st = pf_slam_step(cfg, st, scan, u, new_pose, prev_odom)
+            return (st, new_pose, new_pose), None
+
+        (st, true_pose, _), _ = jax.lax.scan(
+            body, (st, true_pose, true_pose), jnp.arange(n_steps))
+        return st, true_pose
 
     st = pf_init(cfg, seed=2)
-    true_pose = jnp.zeros(3, jnp.float32)
-    prev_odom = true_pose
-    n_steps = 120
+    st, true_pose = run(st, jnp.zeros(3, jnp.float32))  # warmup+compile
+    jax.block_until_ready(st.poses)
+    st = pf_init(cfg, seed=2)
     t0 = time.time()
-    for i in range(n_steps):
-        new_pose = true_step(true_pose)
-        key = jax.random.fold_in(jax.random.PRNGKey(99), i)
-        scan = scan_segments(new_pose, segs, num_beams=grid.num_beams,
-                             max_range=grid.range_max, key=key,
-                             noise_std=0.002)
-        st = step(st, scan, new_pose, prev_odom)
-        prev_odom = new_pose
-        true_pose = new_pose
+    st, true_pose = run(st, jnp.zeros(3, jnp.float32))
     pose, grid_best = jax.block_until_ready(best_particle(st))
     wall = time.time() - t0
 
     err = np.asarray(pose) - np.asarray(true_pose)
+    err[0] = (err[0] + np.pi) % (2 * np.pi) - np.pi  # wrap heading error
     occ = np.asarray(grid_best >= cfg.grid.l_occ)
     omap = np.asarray(occupancy_grid(cfg.grid, grid_best))
     print(f"pose error (theta,x,y) = {err[0]:+.4f} {err[1]:+.4f} "
