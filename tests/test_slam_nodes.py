@@ -151,3 +151,48 @@ def test_rbpf_mapping_node_builds_map():
     assert (omap == 100).sum() > 0        # walls observed as occupied
     assert (omap == 0).sum() > 0          # interior carved free
     assert map_odom.latest() is not None
+
+
+def test_rbpf_mapping_node_reverse_drive():
+    """Driving BACKWARDS must propagate the particles backwards: the node
+    feeds the filter a signed body twist from wheel deltas, not an
+    unsigned pose-difference norm (ref: turtle_mapping_node.cpp:469-474
+    derives vb from pf_drive.updateOdometry). Regression for the round-1
+    bug where u = [dθ, hypot(dx,dy)] lost the translation sign."""
+    grid = GridConfig(resolution=0.1, xmin=-1.5, xmax=1.5, ymin=-1.5,
+                      ymax=1.5, num_beams=60, beam_delta=2 * np.pi / 60,
+                      range_max=3.0, ray_samples=48)
+    cfg = PFConfig(num_particles=4, k_samples=8,
+                   motion_noise=(1e-8, 1e-8, 1e-8),
+                   sample_range=(1e-8, 1e-8, 1e-8),
+                   grid=grid, icp=ICPConfig(max_iter=8))
+    segs = box_segments(-1.2, -1.2, 1.2, 1.2, jnp.float32)
+
+    cmd_vel, joints, scan = Channel(), Channel(), Channel()
+    slam_pose, grid_out = Channel(), Channel()
+    encoders = FakeDiffEncodersNode(dd.TURTLEBOT3, cmd_vel, joints,
+                                    rate_hz=30.0)
+    node = RbpfMappingNode(cfg, dd.TURTLEBOT3, joints, scan, slam_pose,
+                           grid_out, seed=3)
+
+    def scan_tick(t):
+        pose = dd.pose(encoders.state)
+        scan.publish(np.asarray(scan_segments(
+            jnp.asarray(pose, jnp.float32), segs,
+            num_beams=grid.num_beams, max_range=grid.range_max)))
+
+    # Reverse at -0.08 m/s; the FIRST filter update (no previous scan)
+    # always takes the motion-model fallback branch, which consumes u.
+    s = Scheduler()
+    s.add(Node("cmd", 30.0, lambda t: cmd_vel.publish(
+        np.asarray([0.0, -0.08, 0.0]))))
+    s.add(Node("encoders", 30.0, encoders.tick))
+    s.add(Node("scan", 2.0, scan_tick))
+    s.add(Node("slam", 2.0, node.tick))
+    s.run(1.2)
+
+    tru = np.asarray(dd.pose(encoders.state))
+    est = np.asarray(slam_pose.latest())
+    assert tru[1] < -0.05                 # robot really went backwards
+    assert est[1] < -0.02                 # ...and so did the estimate
+    assert abs(est[1] - tru[1]) < 0.1

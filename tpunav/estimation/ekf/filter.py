@@ -336,14 +336,18 @@ def slam_unknown_da(cfg: EKFConfig, st: EKFState, meas_xy, u,
 
     def maha(state, cov, k, r, b, v_i):
         """Mahalanobis distance to landmark slot k (ref: :163-208).
-        Clamped at 0 — the reference throws on a negative distance
-        (ekf_filter.cpp:189-192); with the Joseph update Ψ stays PSD and
-        the clamp only absorbs rounding."""
+        The reference throws on a negative distance
+        (ekf_filter.cpp:189-192); here a tiny negative (rounding of a PSD
+        Ψ under the Joseph update) clamps to 0, while a genuinely
+        indefinite/non-finite result maps to +inf — "no match" — instead
+        of masquerading as the strongest possible match."""
         z_hat = _predicted_measurement(state, k, v_i)
         H = _measurement_jacobian(cfg, state, k)
         psi = H @ cov @ H.T + R
         dz = _innovation(r, b, z_hat)
-        return jnp.maximum(dz @ _inv2(psi) @ dz, 0.0)
+        d2 = dz @ _inv2(psi) @ dz
+        bad = jnp.logical_or(~jnp.isfinite(d2), d2 < -1e-6)
+        return jnp.where(bad, jnp.inf, jnp.maximum(d2, 0.0))
 
     def step(carry, inp):
         state, cov, active, count = carry

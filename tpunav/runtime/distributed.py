@@ -42,6 +42,19 @@ def initialize(coordinator_address: Optional[str] = None,
 
     if coordinator_address is None and num_processes is None:
         return False
+    # Reject partial specification up front: jax.distributed.initialize
+    # would otherwise fail opaquely (or hang contacting a coordinator)
+    # outside auto-detected cluster environments.
+    missing = [name for name, val in (
+        ("coordinator_address", coordinator_address),
+        ("num_processes", num_processes),
+        ("process_id", process_id)) if val is None]
+    if missing:
+        raise ValueError(
+            "partial multi-process configuration: missing "
+            f"{missing}; set all of JAX_COORDINATOR_ADDRESS / "
+            "JAX_NUM_PROCESSES / JAX_PROCESS_ID (or pass all three "
+            "arguments), or none for a single-host run.")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

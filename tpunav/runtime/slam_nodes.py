@@ -143,7 +143,8 @@ class RbpfMappingNode:
         self.truth = truth
         self.errors = errors
         self.dtype = dtype
-        self.drive = dd.init_state(dtype=dtype)       # pf_drive
+        self.drive = dd.init_state(dtype=dtype)       # dead-reckoning path
+        self.pf_drive = dd.init_state(dtype=dtype)    # filter input path
         self.pf = pf_init(cfg, seed=seed, dtype=dtype)
         self.prev_odom = np.zeros(3, dtype)
         self._step = jax.jit(
@@ -167,12 +168,18 @@ class RbpfMappingNode:
         if ranges is None or not self._have_odom:
             return
         cur_odom = np.asarray(dd.pose(self.drive), self.dtype)
-        # Body twist over the inter-scan interval from the odometry delta
-        # (ref: :469-472 — vb from pf_drive.updateOdometry).
-        dth = float(cur_odom[0] - self.prev_odom[0])
-        dxy = float(np.hypot(cur_odom[1] - self.prev_odom[1],
-                             cur_odom[2] - self.prev_odom[2]))
-        u = jnp.asarray([dth, dxy], self.dtype)
+        # Signed body twist over the inter-scan interval: advance a second
+        # odometry model (pf_drive) to the latest wheel angles and convert
+        # the wrapped wheel deltas, exactly like the reference's
+        # pf_drive.updateOdometry → wheelsToTwist
+        # (ref: turtle_mapping_node.cpp:469-474). A pose-difference twist
+        # would lose the translation sign when reversing and blow up ~2π
+        # when the heading wraps across ±π.
+        left, right = (float(self.drive.left), float(self.drive.right))
+        self.pf_drive, wheel_vel = dd.update_odometry(
+            self.params, self.pf_drive, left, right)
+        tw = dd.wheels_to_twist(self.params, wheel_vel)
+        u = jnp.stack([tw[0], tw[1]])                 # [w, vx]
         self.pf = self._step(self.pf, jnp.asarray(ranges, self.dtype), u,
                              jnp.asarray(cur_odom),
                              jnp.asarray(self.prev_odom))

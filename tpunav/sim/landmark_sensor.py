@@ -19,14 +19,22 @@ import jax.numpy as jnp
 
 def landmark_measurements(landmarks_world, pose, visibility_radius,
                           key: Optional[jax.Array] = None,
-                          noise_std: float = 0.0):
+                          noise_std: float = 0.0,
+                          pose_noise_std: float = 0.0):
     """Return (M, 2) robot-frame landmark positions; NaN rows are outside
     the visibility radius.
 
     landmarks_world: (M, 2) world coordinates (ref config:
     nuslam/config/block_world_landmarks.yaml).
     pose: (3,) [theta, x, y] ground-truth robot pose.
+    pose_noise_std: Gaussian noise added to the robot pose BEFORE the
+    world→robot transform, like the reference's fake sensor corrupting
+    the gazebo pose (ref: analysis_node.cpp:169-178).
     """
+    if key is not None and pose_noise_std > 0.0:
+        key, k_pose = jax.random.split(key)
+        pose = pose + pose_noise_std * jax.random.normal(
+            k_pose, pose.shape, pose.dtype)
     theta, x, y = pose[0], pose[1], pose[2]
     d = landmarks_world - jnp.stack([x, y])
     c, s = jnp.cos(theta), jnp.sin(theta)
