@@ -266,3 +266,12 @@ def feature_detection(cfg: LandmarkConfig, ranges) -> Circles:
     pts, valid = laser_end_points(cfg.props, ranges)
     ids = cluster_scan(cfg, pts, valid)
     return fit_circles(cfg, pts, ids, valid)
+
+
+def circles_to_measurements(circles: Circles):
+    """Detected circles → the EKF's measurement format: (C, 2) robot-frame
+    centers with NaN rows for empty slots — the TurtleMap-over-a-topic
+    hand-off between the reference's landmarks node and slam node
+    (ref: nuslam/src/landmarks_node.cpp:84-104 publishing
+    nuslam/msg/TurtleMap.msg, consumed at slam_node.cpp:109-123)."""
+    return jnp.where(circles.valid[:, None], circles.centers, jnp.nan)

@@ -22,6 +22,8 @@ from ..core import diff_drive as dd
 from ..core import se2
 from ..estimation.ekf import (EKFConfig, ekf_init, known_correspondence_slam,
                               landmark_map, robot_pose, slam_unknown_da)
+from ..estimation.landmarks import (LandmarkConfig, circles_to_measurements,
+                                    feature_detection)
 from ..estimation.rbpf import (PFConfig, best_particle, pf_init,
                                pf_slam_step)
 from ..estimation.rbpf.grid import occupancy_grid
@@ -38,6 +40,38 @@ def map_to_odom(slam_pose, odom_pose):
     tmo = se2.compose(tmr, se2.inverse(tor))
     xy = se2.translation_of(tmo)
     return jnp.stack([se2.theta_of(tmo), xy[0], xy[1]])
+
+
+class LandmarksNode:
+    """Lidar feature-detection node (ref: nuslam/src/landmarks_node.cpp):
+    subscribes a raw range scan, runs the jitted clustering + circle-fit
+    pipeline, and publishes the (C, 2) NaN-masked robot-frame measurement
+    array (the TurtleMap equivalent) for the EKF node — plus, optionally,
+    the full (centers, radii, valid) triple for map drawing
+    (ref: nuslam/src/draw_map_node.cpp:59-102).
+    """
+
+    def __init__(self, cfg: LandmarkConfig, scan: Channel,
+                 landmarks: Channel, turtle_map: Optional[Channel] = None,
+                 dtype=jnp.float32):
+        self.cfg = cfg
+        self.scan = scan
+        self.landmarks = landmarks
+        self.turtle_map = turtle_map
+        self.dtype = dtype
+        self._detect = jax.jit(lambda r: feature_detection(cfg, r))
+        self._seen_scan = 0
+
+    def tick(self, t: float) -> None:
+        ranges, self._seen_scan = self.scan.take_new(self._seen_scan)
+        if ranges is None:
+            return
+        circles = self._detect(jnp.asarray(ranges, self.dtype))
+        self.landmarks.publish(np.asarray(circles_to_measurements(circles)))
+        if self.turtle_map is not None:
+            self.turtle_map.publish((np.asarray(circles.centers),
+                                     np.asarray(circles.radii),
+                                     np.asarray(circles.valid)))
 
 
 class EkfSlamNode:

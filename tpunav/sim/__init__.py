@@ -4,4 +4,8 @@ Replaces the reference's Gazebo plugin, analysis node, and fake encoders
 (SURVEY.md §2.8) with pure-JAX models usable inside jitted closed loops.
 """
 
-from .landmark_sensor import landmark_measurements  # noqa: F401
+from .landmark_sensor import (  # noqa: F401
+    associate_known,
+    landmark_measurements,
+)
+from .lidar import box_segments, scan_cylinders, scan_segments  # noqa: F401
