@@ -35,21 +35,22 @@ from tpunav.runtime.config import (
 CONFIGS = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 
-def main():
+def run(use_fused: bool, rollouts: int):
     # Reference-schema yaml configs (same keys as the C++ stack's files;
     # overrides play the role of per-node <param> tags). TPU-scale
-    # overrides: H=0.5 s, K=1024 instead of the CPU reference's K=5.
+    # overrides: H=0.5 s, K=1024+ instead of the CPU reference's K=5.
     cfg = load_mppi_config(os.path.join(CONFIGS, "mppi_params.yaml"),
-                           horizon=0.5, rollouts=1024)
+                           horizon=0.5, rollouts=rollouts)
     robot = load_robot_config(os.path.join(CONFIGS, "diff_params.yaml"))
     cart = CartParams(robot.wheel_radius, robot.wheel_base)
     course = CourseConfig(goal_thresh=0.1, tick_dt=1.0 / 60.0,
-                          max_ticks=20_000)
+                          max_ticks=20_000, use_fused=use_fused)
     waypoints = jnp.asarray(
         load_waypoints(os.path.join(CONFIGS, "real_waypoints.yaml")),
         jnp.float32)
 
-    print(f"devices: {jax.devices()}")
+    name = "fused-pallas" if use_fused else "xla"
+    print(f"--- solver={name} K={rollouts} ---")
     st = course_init(cfg, jnp.zeros(3), seed=0)
 
     last = {"visits": 0, "t_first": None}
@@ -79,6 +80,13 @@ def main():
           f"{wall - steady:.1f} s); steady state "
           f"{steady_ticks / steady:.0f} solves/s = "
           f"{steady_ticks / 60.0 / steady:.1f}x real time")
+
+
+def main():
+    print(f"devices: {jax.devices()}")
+    run(use_fused=False, rollouts=1024)
+    # The flagship config: the single-kernel Pallas solve in the loop.
+    run(use_fused=True, rollouts=4096)
 
 
 if __name__ == "__main__":

@@ -26,7 +26,7 @@ from tpunav.sim.lidar import box_segments, scan_segments
 def main():
     print("devices:", jax.devices())
     grid = GridConfig(resolution=0.05, xmin=-2.0, xmax=2.0, ymin=-2.0,
-                      ymax=2.0, num_beams=360, ray_samples=128)
+                      ymax=2.0, num_beams=360)
     cfg = PFConfig(num_particles=40, k_samples=50,
                    sample_range=(1e-6, 1e-5, 1e-5),
                    motion_noise=(1e-6, 1e-5, 1e-5),

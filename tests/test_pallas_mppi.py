@@ -70,6 +70,87 @@ def test_fused_solve_nonzero_nominal():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fused_solve_with_obstacles_matches_xla():
+    """In-kernel primitive obstacle cost (BASELINE config 2 fused) vs the
+    XLA path with the same analytic segment cost."""
+    from tpunav.control.mppi import mppi_solve  # noqa: F401
+    from tpunav.control.obstacle_cost import (SegmentCostParams,
+                                              make_segment_obstacle_cost,
+                                              segments_from_circles)
+
+    cfg = MPPIConfig(horizon=0.25, dt=0.01, rollouts=128)
+    params = SegmentCostParams(r_safe=0.1, w_hit=1e6, w_field=1e3,
+                               sigma=0.2)
+    segs = jnp.concatenate([
+        segments_from_circles(jnp.array([[0.5, 0.1]]), jnp.array([0.05])),
+        jnp.array([[0.3, -0.4, 0.3, 0.4, 0.0]], jnp.float32),  # wall
+    ])
+    u = init_controls(cfg)
+    pose = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    xd = jnp.asarray([1.0, 0.2, 0.0], jnp.float32)
+    noise_kern, noise_flat = _noise_pair(cfg, seed=7)
+
+    cmd_p, u_p = mppi_solve_fused(cfg, MODEL, u, 0, pose, xd,
+                                  noise=noise_kern, obstacles=segs,
+                                  obs_cfg=params, interpret=True)
+
+    extra = make_segment_obstacle_cost(params, segs)
+    loss, _ = rollout_losses(cfg, MODEL, pose, u[None] + noise_flat, xd,
+                             extra_cost=extra)
+    u_x = update_controls(cfg, u, noise_flat, cost_to_go(loss))
+    # Slightly looser than the no-obstacle parity: the obstacle field is
+    # steep (w_field/sigma) and the λ=0.01 softmax turns last-ulp f32
+    # rollout differences into e^(100Δ) weight ratios near obstacles.
+    np.testing.assert_allclose(np.asarray(cmd_p), np.asarray(u_x[0]),
+                               rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(u_p),
+                               np.asarray(shift_controls(cfg, u_x)),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_partials_decomposition_matches_full_update():
+    """The sharded-fused path's math: per-shard (N,6) partials with LOCAL
+    min, rescaled by exp((m_g-m_l)/lambda) and summed across shards, must
+    reproduce the single-device softmax update exactly (the combine in
+    parallel/mppi_sharded.py:_fused_sharded_body)."""
+    import dataclasses
+
+    from tpunav.ops.pallas_mppi import mppi_solve_partials
+
+    cfg = MPPIConfig(horizon=0.15, dt=0.01, rollouts=256)
+    half = dataclasses.replace(cfg, rollouts=128)
+    u = init_controls(cfg) + jnp.asarray([0.5, -0.2], jnp.float32)
+    pose = jnp.asarray([0.05, -0.1, 0.2], jnp.float32)
+    xd = jnp.asarray([0.8, 0.4, 0.0], jnp.float32)
+    noise_kern, noise_flat = _noise_pair(cfg, seed=11)
+
+    parts = [
+        np.asarray(mppi_solve_partials(
+            half, MODEL, u, 0, pose, xd,
+            noise=noise_kern[:, s:s + 1], interpret=True))
+        for s in range(2)
+    ]
+    m_g = np.minimum(parts[0][:, 0], parts[1][:, 0])
+    red = np.zeros((cfg.steps, 5), np.float64)
+    for p in parts:
+        s = np.exp((m_g - p[:, 0]) / cfg.lambda_)
+        red[:, 0] += s * p[:, 1]
+        red[:, 1] += s * p[:, 2]
+        red[:, 2] += s * p[:, 3]
+        red[:, 3] += p[:, 4]
+        red[:, 4] += p[:, 5]
+    denom = red[:, 0] + 1e-8 * cfg.rollouts
+    du = np.stack([(red[:, 1] + 1e-8 * red[:, 3]) / denom,
+                   (red[:, 2] + 1e-8 * red[:, 4]) / denom], axis=1)
+    u_sharded = np.clip(np.asarray(u) + du, -cfg.max_wheel_vel,
+                        cfg.max_wheel_vel)
+
+    loss, _ = rollout_losses(cfg, MODEL, pose, u[None] + noise_flat, xd)
+    u_x = update_controls(cfg, u, noise_flat, cost_to_go(loss))
+    np.testing.assert_allclose(u_sharded, np.asarray(u_x), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_rollouts_must_be_lane_multiple():
     cfg = MPPIConfig(rollouts=100)
     with pytest.raises(ValueError):

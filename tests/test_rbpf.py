@@ -23,8 +23,7 @@ from tpunav.ops.distance_transform import euclidean_distance_field
 from tpunav.sim.lidar import box_segments, scan_segments
 
 SMALL_GRID = GridConfig(resolution=0.1, xmin=-2.0, xmax=2.0, ymin=-2.0,
-                        ymax=2.0, num_beams=90, beam_delta=2 * jnp.pi / 90,
-                        ray_samples=64)
+                        ymax=2.0, num_beams=90, beam_delta=2 * jnp.pi / 90)
 
 
 # ------------------------------------------------- distance transform ----

@@ -25,8 +25,7 @@ from tpunav.parallel.rbpf_sharded import (
 from tpunav.sim.lidar import box_segments, scan_segments
 
 GRID = GridConfig(resolution=0.1, xmin=-2.0, xmax=2.0, ymin=-2.0,
-                  ymax=2.0, num_beams=90, beam_delta=2 * jnp.pi / 90,
-                  ray_samples=64)
+                  ymax=2.0, num_beams=90, beam_delta=2 * jnp.pi / 90)
 CFG = PFConfig(num_particles=16, k_samples=10,
                sample_range=(1e-6, 1e-5, 1e-5),
                motion_noise=(1e-6, 1e-5, 1e-5),

@@ -107,7 +107,7 @@ def test_ekf_slam_node_unknown_da():
 def test_rbpf_mapping_node_builds_map():
     grid = GridConfig(resolution=0.1, xmin=-1.5, xmax=1.5, ymin=-1.5,
                       ymax=1.5, num_beams=60, beam_delta=2 * np.pi / 60,
-                      range_max=3.0, ray_samples=48)
+                      range_max=3.0)
     cfg = PFConfig(num_particles=4, k_samples=8,
                    motion_noise=(1e-6, 1e-5, 1e-5),
                    sample_range=(1e-6, 1e-5, 1e-5),
@@ -161,7 +161,7 @@ def test_rbpf_mapping_node_reverse_drive():
     bug where u = [dθ, hypot(dx,dy)] lost the translation sign."""
     grid = GridConfig(resolution=0.1, xmin=-1.5, xmax=1.5, ymin=-1.5,
                       ymax=1.5, num_beams=60, beam_delta=2 * np.pi / 60,
-                      range_max=3.0, ray_samples=48)
+                      range_max=3.0)
     cfg = PFConfig(num_particles=4, k_samples=8,
                    motion_noise=(1e-8, 1e-8, 1e-8),
                    sample_range=(1e-8, 1e-8, 1e-8),

@@ -42,6 +42,71 @@ def distance_field_from_labels(labels, resolution: float,
                                     dtype=jnp.float32)
 
 
+@dataclasses.dataclass(frozen=True)
+class SegmentCostParams:
+    """Weights for the analytic primitive-set obstacle cost (same cost
+    law as :class:`ObstacleCostConfig`, but d(p) is computed in closed
+    form against segment/circle primitives instead of a grid ESDF lookup
+    — exact, grid-free, and computable inside the fused Pallas kernel
+    where dynamic gathers don't lower)."""
+
+    r_safe: float = 0.12
+    w_hit: float = 1e6
+    w_field: float = 1e3
+    sigma: float = 0.2
+
+
+def segments_from_circles(centers, radii):
+    """Circle obstacles as degenerate (a == b) offset segments: rows
+    [ax, ay, bx, by, r]."""
+    c = jnp.asarray(centers, jnp.float32)
+    r = jnp.asarray(radii, jnp.float32).reshape(-1, 1)
+    return jnp.concatenate([c, c, r], axis=1)
+
+
+def segments_from_polygons(polygons):
+    """CCW polygon obstacles (the planner's obstacle_map format,
+    ref: planner/include/planner/planner_utilities.hpp:18-19) as edge
+    segments with zero offset radius."""
+    rows = []
+    for poly in polygons:
+        n = len(poly)
+        for i in range(n):
+            a, b = poly[i], poly[(i + 1) % n]
+            rows.append([a[0], a[1], b[0], b[1], 0.0])
+    return jnp.asarray(rows, jnp.float32)
+
+
+def make_segment_obstacle_cost(params: SegmentCostParams, segments):
+    """Returns ``cost_fn(xy) -> cost`` for (..., 2) positions against
+    (O, 5) segment primitives [ax, ay, bx, by, r]: d(p) = min over
+    primitives of (point-to-segment distance − r). Same math the fused
+    kernel evaluates in-register (ops/pallas_mppi.py), so the two paths
+    parity-test against each other."""
+    segments = jnp.asarray(segments, jnp.float32)
+
+    def cost_fn(xy):
+        # Op-for-op identical to the in-kernel evaluation (the MPPI
+        # softmax at λ=0.01 amplifies cost rounding differences by e^100Δ,
+        # so parity needs bitwise-equal cost arithmetic, not just the same
+        # formula).
+        a = segments[:, 0:2]                        # (O, 2)
+        ab = segments[:, 2:4] - a                   # (O, 2)
+        rr = segments[:, 4]                         # (O,)
+        inv = 1.0 / jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-12)
+        ap = xy[..., None, :] - a                   # (..., O, 2)
+        t = jnp.clip(jnp.sum(ap * ab, axis=-1) * inv, 0.0, 1.0)
+        proj = a + t[..., None] * ab
+        diff = xy[..., None, :] - proj
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1)) - rr
+        d = jnp.min(d, axis=-1)
+        hit = (d <= params.r_safe).astype(d.dtype)
+        return params.w_hit * hit + params.w_field * jnp.exp(
+            -(d - params.r_safe) / params.sigma)
+
+    return cost_fn
+
+
 def make_obstacle_cost(cfg: ObstacleCostConfig, dist_field):
     """Returns ``cost_fn(xy) -> cost`` for (..., 2) world positions,
     suitable as ``mppi_solve``'s extra running cost."""

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.cart import CartParams, kinematic_cart
+from ..ops.pallas_mppi import mppi_solve_fused
 from ..ops.rk4 import rk4_step
 from .mppi import MPPIConfig, init_controls, mppi_solve
 
@@ -34,6 +35,12 @@ class CourseConfig:
     cycles: int = 1              # full passes through the list, then stop
     tick_dt: float = 1.0 / 60.0  # plant update rate (fake encoders, 60 Hz)
     max_ticks: int = 100_000
+    # Solver backend: False = XLA mppi_solve; True = the fused Pallas
+    # kernel (ops/pallas_mppi.py) — the flagship single-kernel solve. The
+    # fused path seeds its on-core PRNG with fused_seed + tick, so the
+    # whole course stays ONE device program with no key plumbing.
+    use_fused: bool = False
+    fused_seed: int = 0
 
 
 class CourseState(NamedTuple):
@@ -57,11 +64,15 @@ def course_init(cfg: MPPIConfig, pose, seed: int = 0) -> CourseState:
 
 
 def course_tick(cfg: MPPIConfig, course: CourseConfig, model: CartParams,
-                waypoints, st: CourseState, extra_cost=None) -> CourseState:
+                waypoints, st: CourseState, extra_cost=None,
+                obstacles=None, obs_cfg=None) -> CourseState:
     """One fused control tick: waypoint advance → MPPI solve → plant step.
 
     ``waypoints``: (W, 3) device array of [x, y, theta] targets.
-    All branching is lax — no host sync.
+    All branching is lax — no host sync. With ``course.use_fused`` the
+    solve is the single Pallas kernel; ``obstacles``/``obs_cfg`` add the
+    in-kernel primitive obstacle cost (fused path) — on the XLA path pass
+    ``extra_cost`` instead.
     """
     n_wpts = waypoints.shape[0]
     wpt = waypoints[st.wpt_idx]
@@ -75,8 +86,14 @@ def course_tick(cfg: MPPIConfig, course: CourseConfig, model: CartParams,
     done = jnp.logical_or(st.done, visits >= course.cycles * n_wpts)
     wpt = waypoints[wpt_idx]
 
-    key, sub = jax.random.split(st.key)
-    cmd, u = mppi_solve(cfg, model, st.u, sub, st.pose, wpt, extra_cost)
+    key = st.key
+    if course.use_fused:
+        seed = jnp.asarray(course.fused_seed, jnp.int32) + st.ticks
+        cmd, u = mppi_solve_fused(cfg, model, st.u, seed, st.pose, wpt,
+                                  obstacles=obstacles, obs_cfg=obs_cfg)
+    else:
+        key, sub = jax.random.split(st.key)
+        cmd, u = mppi_solve(cfg, model, st.u, sub, st.pose, wpt, extra_cost)
     cmd = jnp.where(done, jnp.zeros_like(cmd), cmd)
 
     f = lambda x, uu: kinematic_cart(model, x, uu)
@@ -88,8 +105,8 @@ def course_tick(cfg: MPPIConfig, course: CourseConfig, model: CartParams,
 
 
 def run_course(cfg: MPPIConfig, course: CourseConfig, model: CartParams,
-               waypoints, st: CourseState,
-               extra_cost=None) -> CourseState:
+               waypoints, st: CourseState, extra_cost=None,
+               obstacles=None, obs_cfg=None) -> CourseState:
     """Run ticks until the course completes (or max_ticks) as ONE device
     program — zero host round-trips mid-course."""
     waypoints = jnp.asarray(waypoints, jnp.float32)
@@ -98,7 +115,8 @@ def run_course(cfg: MPPIConfig, course: CourseConfig, model: CartParams,
         return jnp.logical_and(~st.done, st.ticks < course.max_ticks)
 
     def body(st):
-        return course_tick(cfg, course, model, waypoints, st, extra_cost)
+        return course_tick(cfg, course, model, waypoints, st, extra_cost,
+                           obstacles, obs_cfg)
 
     return jax.lax.while_loop(cond, body, st)
 
@@ -106,6 +124,7 @@ def run_course(cfg: MPPIConfig, course: CourseConfig, model: CartParams,
 def run_course_chunked(cfg: MPPIConfig, course: CourseConfig,
                       model: CartParams, waypoints, st: CourseState,
                       chunk: int = 120, extra_cost=None,
+                      obstacles=None, obs_cfg=None,
                       on_chunk=None) -> CourseState:
     """Like :func:`run_course` but syncs to the host every ``chunk`` ticks
     (for progress reporting / trajectory logging) — the closed-loop analog
@@ -117,7 +136,7 @@ def run_course_chunked(cfg: MPPIConfig, course: CourseConfig,
     def run_chunk(st):
         def body(st, _):
             return course_tick(cfg, course, model, waypoints, st,
-                               extra_cost), st.pose
+                               extra_cost, obstacles, obs_cfg), st.pose
         return jax.lax.scan(body, st, None, length=chunk)
 
     while True:

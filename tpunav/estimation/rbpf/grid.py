@@ -6,10 +6,10 @@ bmapping/src/bmapping/grid_mapper.cpp — the repo's biggest file). Design
 mapping (SURVEY.md §2.4):
 
 - The per-beam Bresenham raycast (freeGridIndex + lineLow/lineHigh/
-  lineDiag, grid_mapper.cpp:549-807) becomes a dense sampled-DDA: every
-  beam takes a fixed number of samples along the ray, sample→cell indices
-  are deduplicated against the previous sample, and log-odds deltas are
-  scatter-added for ALL beams at once.
+  lineDiag, grid_mapper.cpp:549-807) becomes a dense per-cell GATHER
+  (see ``integrate_scan``): each cell looks up the beam covering its
+  angle and marks itself free when it lies short of that beam's hit —
+  no scatter on the hot path, which is what TPUs are slow at.
 - The hash-map of occupied cells + FMM ESDF rebuild (:272-435) becomes a
   dense occupancy mask + the exact two-phase distance transform in
   ``tpunav.ops.distance_transform`` (vmapped over particles).
@@ -63,9 +63,6 @@ class GridConfig:
     beam_delta: float = jnp.pi / 180.0
     range_min: float = 0.12
     range_max: float = 3.5
-    # DDA samples per beam; at 128 samples a 3.5 m beam steps 2.7 cm < the
-    # 5 cm cell size, so no cell on the ray is skipped.
-    ray_samples: int = 128
 
     @property
     def width(self) -> int:
@@ -122,35 +119,53 @@ def scan_end_points(cfg: GridConfig, ranges, pose):
 def integrate_scan(cfg: GridConfig, log_odds, ranges, pose):
     """Fold one scan into the grid: free cells along each beam get
     l_free − l_prior, each endpoint cell gets l_occ − l_prior
-    (ref: GridMapper::integrateScan grid_mapper.cpp:140-182)."""
+    (ref: GridMapper::integrateScan grid_mapper.cpp:140-182).
+
+    TPU formulation: instead of per-beam Bresenham raycasting + a 23M-index
+    scatter-add (freeGridIndex grid_mapper.cpp:549-807 — measured 200+ ms
+    for 500 particles on a v5e), the free-space update is a dense per-CELL
+    gather: every cell looks up the beam covering its angle and marks
+    itself free when it lies short of that beam's hit. An angular
+    multiplicity weight m = cell_width / (r·Δ) preserves the reference's
+    per-beam marking mass — a near cell crossed by m beams accumulates
+    m·Δl_free per scan under Bresenham, and gets exactly that here; a far
+    cell between two rays gets the same mass in expectation (m < 1)
+    instead of stochastic whole hits. O(H·W) gathers per particle, no
+    scatter on the hot path (the endpoint update scatters only B indices).
+    """
     h, w = cfg.height, cfg.width
     pts, valid = scan_end_points(cfg, ranges, pose)
-    origin = pose[1:3]
-
-    # --- free-space samples along every beam (excludes the endpoint cell).
-    t = jnp.linspace(0.0, 1.0, cfg.ray_samples, endpoint=False,
-                     dtype=log_odds.dtype)
-    sample_pts = origin + t[None, :, None] * (pts[:, None, :] - origin)
-    iy, ix = world_to_cell(cfg, sample_pts)           # (B, S)
-    flat = iy * w + ix
     eiy, eix = world_to_cell(cfg, pts)                # (B,)
     eflat = eiy * w + eix
 
-    # Deduplicate consecutive samples that fall in the same cell, and drop
-    # samples already in the endpoint cell (Bresenham marks each cell once
-    # per beam and excludes the hit cell, grid_mapper.cpp:596-704).
-    first = jnp.concatenate(
-        [jnp.ones((flat.shape[0], 1), bool), flat[:, 1:] != flat[:, :-1]],
-        axis=1)
-    keep = jnp.logical_and(first, flat != eflat[:, None])
-    keep = jnp.logical_and(keep, valid[:, None])
+    # Static cell-center coordinates.
+    res = cfg.resolution
+    cx = cfg.xmin + (jnp.arange(w, dtype=log_odds.dtype) + 0.5) * res
+    cy = cfg.ymin + (jnp.arange(h, dtype=log_odds.dtype) + 0.5) * res
+    dx = cx[None, :] - pose[1]                        # (1, W)
+    dy = cy[:, None] - pose[2]                        # (H, 1)
+    r_c = jnp.sqrt(dx * dx + dy * dy)                 # (H, W)
+    two_pi = 2.0 * jnp.pi
+    alpha = jnp.mod(jnp.arctan2(dy, dx) - pose[0] - cfg.beam_min, two_pi)
 
-    grid_flat = log_odds.reshape(-1)
+    b_full = int(round(two_pi / cfg.beam_delta))      # beams per revolution
+    b = jnp.round(alpha / cfg.beam_delta).astype(jnp.int32) % b_full
+    in_fov = b < cfg.num_beams
+    bi = jnp.clip(b, 0, cfg.num_beams - 1)
+
+    # Beam range gathered per cell; invalid beams never mark free space.
+    r_beam = jnp.where(valid, ranges, -1.0)[bi]       # (H, W)
+    flat = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    free = jnp.logical_and(in_fov, r_c < r_beam)
+    free = jnp.logical_and(free, flat != eflat[bi])   # endpoint cell excluded
+
+    m = jnp.minimum(res / (jnp.maximum(r_c, 0.5 * res) * cfg.beam_delta),
+                    float(cfg.num_beams))
     d_free = jnp.asarray(cfg.l_free - cfg.l_prior, log_odds.dtype)
     d_occ = jnp.asarray(cfg.l_occ - cfg.l_prior, log_odds.dtype)
-    grid_flat = grid_flat.at[flat.reshape(-1)].add(
-        jnp.where(keep, d_free, 0.0).reshape(-1))
-    grid_flat = grid_flat.at[eflat].add(jnp.where(valid, d_occ, 0.0))
+    log_odds = log_odds + jnp.where(free, m * d_free, 0.0)
+    grid_flat = log_odds.reshape(-1).at[eflat].add(
+        jnp.where(valid, d_occ, 0.0))
     return grid_flat.reshape(h, w)
 
 

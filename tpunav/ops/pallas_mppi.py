@@ -62,12 +62,17 @@ def _box_muller(shape):
 
 
 def _mppi_kernel(cfg: MPPIConfig, model: CartParams, sub: int,
-                 external_noise: bool, *refs):
+                 external_noise: bool, obs: "SegmentCostParams | None",
+                 n_obs: int, partial_out: bool, *refs):
+    refs = list(refs)
+    u_ref, pose_ref, xd_ref, seed_ref = refs[:4]
+    refs = refs[4:]
     if external_noise:
-        (u_ref, pose_ref, xd_ref, seed_ref, en0_ref, en1_ref, uout_ref,
-         loss_ref) = refs
-    else:
-        (u_ref, pose_ref, xd_ref, seed_ref, uout_ref, loss_ref) = refs
+        en0_ref, en1_ref = refs[:2]
+        refs = refs[2:]
+    if obs is not None:
+        obs_ref = refs.pop(0)
+    uout_ref, loss_ref = refs
 
     n = cfg.steps
     wr, wb = model.wheel_radius, model.wheel_base
@@ -133,6 +138,28 @@ def _mppi_kernel(cfg: MPPIConfig, model: CartParams, sub: int,
             p0, p1_, p2 = cfg.p1_diag
             loss_ref[t] = p0 * ex * ex + p1_ * ey * ey + p2 * et * et
 
+        if obs is not None:
+            # Analytic primitive-set obstacle cost, evaluated in-register
+            # on the (S, 128) position block — the fused-kernel form of
+            # control/obstacle_cost.py:make_segment_obstacle_cost. Added
+            # AFTER the terminal overwrite, matching the XLA path's
+            # `loss.at[-1].set(terminal); loss += extra_cost(traj)`.
+            d = jnp.full(shape, jnp.inf, jnp.float32)
+            for o in range(n_obs):       # static unroll; scalars from SMEM
+                ax, ay = obs_ref[o, 0], obs_ref[o, 1]
+                abx = obs_ref[o, 2] - ax
+                aby = obs_ref[o, 3] - ay
+                rr = obs_ref[o, 4]
+                inv = 1.0 / jnp.maximum(abx * abx + aby * aby, 1e-12)
+                tp = jnp.clip(((x - ax) * abx + (y - ay) * aby) * inv,
+                              0.0, 1.0)
+                px = x - (ax + tp * abx)
+                py = y - (ay + tp * aby)
+                d = jnp.minimum(d, jnp.sqrt(px * px + py * py) - rr)
+            hit = (d <= obs.r_safe).astype(jnp.float32)
+            loss_ref[t] = loss_ref[t] + obs.w_hit * hit + \
+                obs.w_field * jnp.exp(-(d - obs.r_safe) / obs.sigma)
+
         return x, y, th
 
     x0 = jnp.full(shape, pose_ref[0, 0], jnp.float32)
@@ -155,34 +182,61 @@ def _mppi_kernel(cfg: MPPIConfig, model: CartParams, sub: int,
     if not external_noise:
         pltpu.prng_seed(seed_ref[0, 0])
 
-    def upd(t, _):
-        jt = loss_ref[t]
-        z0, z1 = noise_at(t)
-        m = jnp.min(jt)
-        w = jnp.exp((m - jt) * (1.0 / cfg.lambda_)) + 1e-8
-        inv = 1.0 / jnp.sum(w)
-        du0 = jnp.sum(w * z0) * inv
-        du1 = jnp.sum(w * z1) * inv
-        lim = cfg.max_wheel_vel
-        uout_ref[t, 0] = jnp.clip(u_ref[t, 0] + du0, -lim, lim)
-        uout_ref[t, 1] = jnp.clip(u_ref[t, 1] + du1, -lim, lim)
-        return 0
+    if partial_out:
+        # Sharded mode: emit per-shard softmax partials instead of the
+        # final update. With the local min m_l and e_k = exp((m_l−j_k)/λ),
+        # the GLOBAL update decomposes exactly (w = e·exp((m_g−m_l)/λ)
+        # + 1e-8): rows are [m_l, Σe, Σe·z0, Σe·z1, Σz0, Σz1] and the
+        # caller rescales by exp((m_g−m_l)/λ) and psums across shards
+        # (parallel/mppi_sharded.py:mppi_solve_fused_sharded).
+        def upd(t, _):
+            jt = loss_ref[t]
+            z0, z1 = noise_at(t)
+            m = jnp.min(jt)
+            e = jnp.exp((m - jt) * (1.0 / cfg.lambda_))
+            uout_ref[t, 0] = m
+            uout_ref[t, 1] = jnp.sum(e)
+            uout_ref[t, 2] = jnp.sum(e * z0)
+            uout_ref[t, 3] = jnp.sum(e * z1)
+            uout_ref[t, 4] = jnp.sum(z0)
+            uout_ref[t, 5] = jnp.sum(z1)
+            return 0
+    else:
+        def upd(t, _):
+            jt = loss_ref[t]
+            z0, z1 = noise_at(t)
+            m = jnp.min(jt)
+            w = jnp.exp((m - jt) * (1.0 / cfg.lambda_)) + 1e-8
+            inv = 1.0 / jnp.sum(w)
+            du0 = jnp.sum(w * z0) * inv
+            du1 = jnp.sum(w * z1) * inv
+            lim = cfg.max_wheel_vel
+            uout_ref[t, 0] = jnp.clip(u_ref[t, 0] + du0, -lim, lim)
+            uout_ref[t, 1] = jnp.clip(u_ref[t, 1] + du1, -lim, lim)
+            return 0
 
     jax.lax.fori_loop(0, n, upd, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "model", "interpret"))
+    jax.jit,
+    static_argnames=("cfg", "model", "obs_cfg", "partial_out", "interpret"))
 def _solve_update(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
-                  xd, noise=None, interpret=False):
-    """Run the fused kernel; returns the updated (N,2) controls pre-shift."""
+                  xd, noise=None, obstacles=None, obs_cfg=None,
+                  partial_out=False, interpret=False):
+    """Run the fused kernel; returns the updated (N,2) controls pre-shift
+    (or the (N,6) per-shard softmax partials when ``partial_out``)."""
     if cfg.rollouts % _LANES != 0:
         raise ValueError(f"rollouts must be a multiple of {_LANES}")
+    if (obstacles is None) != (obs_cfg is None):
+        raise ValueError("pass obstacles and obs_cfg together")
     sub = cfg.rollouts // _LANES
     n = cfg.steps
     external = noise is not None
+    n_obs = 0 if obstacles is None else obstacles.shape[0]
 
-    kern = functools.partial(_mppi_kernel, cfg, model, sub, external)
+    kern = functools.partial(_mppi_kernel, cfg, model, sub, external,
+                             obs_cfg, n_obs, partial_out)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),      # u (N,2)
         pl.BlockSpec(memory_space=pltpu.SMEM),      # pose (1,3)
@@ -197,10 +251,14 @@ def _solve_update(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         args += [noise[..., 0].astype(jnp.float32),
                  noise[..., 1].astype(jnp.float32)]
+    if obstacles is not None:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]   # (O,5)
+        args += [obstacles.astype(jnp.float32)]
 
+    out_cols = 6 if partial_out else 2
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, out_cols), jnp.float32),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=[
@@ -210,16 +268,33 @@ def _solve_update(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
     )(*args)
 
 
+def mppi_solve_partials(cfg: MPPIConfig, model: CartParams, u, seed,
+                        pose_xyt, xd, noise=None, obstacles=None,
+                        obs_cfg=None, interpret=False):
+    """Per-shard fused solve returning the (N, 6) softmax partials
+    [m_l, Σe, Σe·z0, Σe·z1, Σz0, Σz1] (e = exp((m_l−j)/λ)) for the
+    cross-device reduction in
+    :func:`tpunav.parallel.mppi_sharded.mppi_solve_fused_sharded`."""
+    return _solve_update(cfg, model, u, seed, pose_xyt, xd, noise,
+                         obstacles, obs_cfg, partial_out=True,
+                         interpret=interpret)
+
+
 def mppi_solve_fused(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
-                     xd, noise=None, interpret=False):
+                     xd, noise=None, obstacles=None, obs_cfg=None,
+                     interpret=False):
     """Drop-in fused replacement for :func:`tpunav.control.mppi.mppi_solve`.
 
     ``seed`` is an int32 scalar (per-solve PRNG seed) instead of a jax
     PRNG key — the kernel uses the on-core PRNG. Pass ``noise``
     ((N, S, 128, 2) time-major std-normal scaled perturbations) to bypass
     in-kernel sampling for deterministic parity tests.
+    ``obstacles`` ((O, 5) segment primitives [ax, ay, bx, by, r]) +
+    ``obs_cfg`` (:class:`tpunav.control.obstacle_cost.SegmentCostParams`,
+    static) add the analytic obstacle cost to every rollout step
+    in-kernel (BASELINE config 2 on the fused path).
     Returns (wheel_cmd (2,), u_next (N, 2)) like ``mppi_solve``.
     """
     u_new = _solve_update(cfg, model, u, seed, pose_xyt, xd, noise,
-                          interpret)
+                          obstacles, obs_cfg, interpret=interpret)
     return u_new[0], shift_controls(cfg, u_new)

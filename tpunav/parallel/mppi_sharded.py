@@ -15,6 +15,7 @@ The math matches :func:`tpunav.control.mppi.mppi_solve` exactly:
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -28,6 +29,7 @@ from ..control.mppi import (
     shift_controls,
 )
 from ..models.cart import CartParams
+from ..ops.pallas_mppi import mppi_solve_partials
 
 
 def _sharded_body(cfg: MPPIConfig, model: CartParams, axis: str,
@@ -61,6 +63,65 @@ def _sharded_body(cfg: MPPIConfig, model: CartParams, axis: str,
     u_new = u + reduced[:, :2] / reduced[:, 2:3]
     u_new = jnp.clip(u_new, -cfg.max_wheel_vel, cfg.max_wheel_vel)
     return u_new[0], shift_controls(cfg, u_new)
+
+
+def _fused_sharded_body(cfg: MPPIConfig, model: CartParams, axis: str,
+                        nshards: int, obstacles, obs_cfg,
+                        u, seed, pose_xyt, xd):
+    """Per-shard fused-Pallas solve + exact cross-shard softmax combine.
+
+    The kernel emits per-shard partials with the LOCAL min m_l
+    (ops/pallas_mppi.py:mppi_solve_partials). The reference softmax
+    (mppi.cpp:112-121) is w = exp((m_g−j)/λ) + 1e-8 with the GLOBAL min
+    m_g; since exp((m_g−j)/λ) = exp((m_g−m_l)/λ)·exp((m_l−j)/λ), each
+    shard's exp-sums rescale by s = exp((m_g−m_l)/λ) and the 1e-8 floor
+    contributes the plain noise sums — one pmin + one fused psum per
+    solve, identical math to the single-chip kernel.
+    """
+    idx = jax.lax.axis_index(axis)
+    cfg_local = dataclasses.replace(cfg, rollouts=cfg.rollouts // nshards)
+
+    # Distinct PRNG stream per shard; shard 0 keeps the caller's seed so a
+    # 1-device mesh reproduces the unsharded kernel stream exactly.
+    seed_local = seed + idx * jnp.int32(-0x61C88647)  # golden-ratio stride
+    part = mppi_solve_partials(cfg_local, model, u, seed_local, pose_xyt,
+                               xd, obstacles=obstacles, obs_cfg=obs_cfg)
+    m_l = part[:, 0]
+    m_g = jax.lax.pmin(m_l, axis)                           # (N,)
+    s = jnp.exp((m_g - m_l) * (1.0 / cfg.lambda_))
+    contrib = jnp.stack(
+        [s * part[:, 1], s * part[:, 2], s * part[:, 3]], axis=1)
+    red = jax.lax.psum(
+        jnp.concatenate([contrib, part[:, 4:6]], axis=1), axis)  # (N, 5)
+
+    denom = red[:, 0] + 1e-8 * cfg.rollouts
+    du0 = (red[:, 1] + 1e-8 * red[:, 3]) / denom
+    du1 = (red[:, 2] + 1e-8 * red[:, 4]) / denom
+    u_new = u + jnp.stack([du0, du1], axis=1)
+    u_new = jnp.clip(u_new, -cfg.max_wheel_vel, cfg.max_wheel_vel)
+    return u_new[0], shift_controls(cfg, u_new)
+
+
+def mppi_solve_fused_sharded(cfg: MPPIConfig, model: CartParams, mesh: Mesh,
+                             axis: str = "k", obstacles=None, obs_cfg=None):
+    """Build a jitted K-sharded solve running the FUSED Pallas kernel per
+    shard: (u, seed, pose_xyt, xd) → (cmd, u_next). ``seed`` is an int32
+    scalar (the kernel's on-core PRNG seed), folded per shard. TPU-only —
+    the in-kernel PRNG does not lower on CPU meshes (use
+    :func:`mppi_solve_sharded` there)."""
+    if cfg.rollouts % mesh.devices.size != 0:
+        raise ValueError(
+            f"rollouts={cfg.rollouts} not divisible by mesh size "
+            f"{mesh.devices.size}")
+    body = partial(_fused_sharded_body, cfg, model, axis,
+                   int(mesh.devices.size), obstacles, obs_cfg)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def mppi_solve_sharded(cfg: MPPIConfig, model: CartParams, mesh: Mesh,
