@@ -1,0 +1,210 @@
+"""BASELINE config 5: RBPF grid SLAM at 500 particles under an MPPI
+exploration loop — the full closed navigation stack in one program.
+
+The reference maps under teleoperated driving
+(ref: bmapping/src/turtle_mapping_node.cpp:451-666, launch defaults 40
+particles); here the driver is the fused-Pallas MPPI waypoint controller
+steering the robot around a walled box on biased odometry while ALL 500
+particles carry their own occupancy grid + ESDF. Per scan interval the
+fused device program runs: 6 control ticks (MPPI solve at K=2048 on the
+odometry pose → plant step → drifting odometry) → lidar raycast → one
+pf_slam_step. Mid-run the whole PFState checkpoints to disk and the
+second half resumes from the restored pytree (runtime/checkpoint.py) —
+exercising the checkpoint/resume subsystem where it matters.
+"""
+
+import os
+import tempfile
+import time
+
+import jax
+
+from tpunav.runtime import cache as _cache
+_cache.enable()
+import jax.numpy as jnp
+import numpy as np
+
+from tpunav.core.angles import normalize_angle_pi
+from tpunav.control.mppi import MPPIConfig, init_controls
+from tpunav.estimation.rbpf import (GridConfig, PFConfig, best_particle,
+                                    pf_init, pf_slam_step)
+from tpunav.estimation.rbpf.icp import ICPConfig
+from tpunav.models.cart import CartParams, kinematic_cart
+from tpunav.ops.pallas_mppi import mppi_solve_fused
+from tpunav.ops.rk4 import rk4_step
+from tpunav.runtime.checkpoint import load_pytree, save_pytree
+from tpunav.sim.lidar import box_segments, scan_segments
+
+MODEL = CartParams(0.033, 0.160)
+TICKS_PER_SCAN = 6
+TICK_DT = 1.0 / 60.0
+
+# Square exploration course inside the box (x, y, theta).
+WAYPOINTS = jnp.asarray([[0.9, 0.0, 0.0], [0.9, 0.9, 0.0],
+                         [-0.9, 0.9, 0.0], [-0.9, -0.9, 0.0],
+                         [0.9, -0.9, 0.0]], jnp.float32)
+
+
+def body_twist(cur_odom, prev_odom):
+    """Signed body-frame [w, vx] over the inter-scan interval (poses are
+    [theta, x, y]) — wrap the heading delta, project the displacement onto
+    the previous heading (ref: turtle_mapping_node.cpp:469-474 derives the
+    same from wheel deltas)."""
+    dth = normalize_angle_pi(cur_odom[0] - prev_odom[0])
+    c, s = jnp.cos(prev_odom[0]), jnp.sin(prev_odom[0])
+    dx = cur_odom[1] - prev_odom[1]
+    dy = cur_odom[2] - prev_odom[2]
+    return jnp.stack([dth, c * dx + s * dy])
+
+
+def build(num_particles=500, scans_per_chunk=20):
+    """Three separately-jitted stage programs chained on the host per scan
+    interval (a monolithic scan-over-everything program — Pallas kernel
+    inside fori inside scan PLUS the 500-particle vmap — overwhelms the
+    AOT compiler; staged programs also hit the compile cache the
+    standalone benches already populated)."""
+    grid = GridConfig()
+    pf_cfg = PFConfig(num_particles=num_particles, k_samples=50,
+                      sample_range=(1e-6, 1e-5, 1e-5),
+                      motion_noise=(1e-6, 1e-5, 1e-5),
+                      grid=grid, icp=ICPConfig(max_iter=25))
+    mppi_cfg = MPPIConfig(horizon=0.5, dt=0.01, rollouts=2048)
+    segs = box_segments(-1.8, -1.8, 1.8, 1.8, jnp.float32)
+    wheel_bias = jnp.asarray([1.015, 0.985], jnp.float32)  # odometry drift
+
+    @jax.jit
+    def control_chunk(true_pose, odom_pose, u, wpt_idx, tick):
+        """TICKS_PER_SCAN fused-MPPI control ticks (one device program)."""
+
+        def control_tick(t, c):
+            true_pose, odom_pose, u, wpt_idx = c
+            wpt = WAYPOINTS[wpt_idx]
+            # Advance on arrival (odometry frame, like the reference
+            # node's odomCallBack, mppi_waypoints_node.cpp:231-258).
+            d2g = jnp.hypot(odom_pose[1] - wpt[0], odom_pose[2] - wpt[1])
+            wpt_idx = jnp.where(d2g < 0.15,
+                                (wpt_idx + 1) % WAYPOINTS.shape[0],
+                                wpt_idx)
+            wpt = WAYPOINTS[wpt_idx]
+            # MPPI runs on the (x, y, theta) convention.
+            pose_xyt = jnp.stack([odom_pose[1], odom_pose[2],
+                                  odom_pose[0]])
+            cmd, u = mppi_solve_fused(mppi_cfg, MODEL, u,
+                                      tick * TICKS_PER_SCAN + t,
+                                      pose_xyt, wpt)
+            f = lambda x, uu: kinematic_cart(MODEL, x, uu)
+            true_xyt = jnp.stack([true_pose[1], true_pose[2],
+                                  true_pose[0]])
+            odom_xyt = jnp.stack([odom_pose[1], odom_pose[2],
+                                  odom_pose[0]])
+            true_xyt = rk4_step(f, true_xyt, cmd, TICK_DT)
+            odom_xyt = rk4_step(f, odom_xyt, cmd * wheel_bias, TICK_DT)
+            true_pose = jnp.stack([true_xyt[2], true_xyt[0], true_xyt[1]])
+            odom_pose = jnp.stack([odom_xyt[2], odom_xyt[0], odom_xyt[1]])
+            return true_pose, odom_pose, u, wpt_idx
+
+        return jax.lax.fori_loop(0, TICKS_PER_SCAN, control_tick,
+                                 (true_pose, odom_pose, u, wpt_idx))
+
+    @jax.jit
+    def sense(true_pose, tick):
+        key = jax.random.fold_in(jax.random.PRNGKey(31), tick)
+        return scan_segments(true_pose, segs, num_beams=grid.num_beams,
+                             max_range=grid.range_max, key=key,
+                             noise_std=0.002)
+
+    @jax.jit
+    def slam_update(pf, scan, cur_odom, prev_odom):
+        return pf_slam_step(pf_cfg, pf, scan,
+                            body_twist(cur_odom, prev_odom),
+                            cur_odom, prev_odom)
+
+    @jax.jit
+    def incr(tick):
+        return tick + 1
+
+    def run_chunk(pf, true_pose, odom_pose, u, wpt_idx, tick):
+        for _ in range(scans_per_chunk):
+            prev_odom = odom_pose
+            true_pose, odom_pose, u, wpt_idx = control_chunk(
+                true_pose, odom_pose, u, wpt_idx, tick)
+            scan = sense(true_pose, tick)
+            pf = slam_update(pf, scan, odom_pose, prev_odom)
+            tick = incr(tick)
+        return pf, true_pose, odom_pose, u, wpt_idx, tick, None
+
+    return pf_cfg, mppi_cfg, run_chunk
+
+
+def run_experiment(num_particles=500, scans_per_chunk=20):
+    """Run the full exploration experiment; returns the RESULTS.md row:
+    dict with slam/odom errors, update rate, and scan count."""
+    pf_cfg, mppi_cfg, run_chunk = build(num_particles, scans_per_chunk)
+    pf = pf_init(pf_cfg, seed=3)
+    true_pose = jnp.zeros(3, jnp.float32)
+    odom_pose = jnp.zeros(3, jnp.float32)
+    u = init_controls(mppi_cfg)
+    wpt_idx = jnp.asarray(0, jnp.int32)
+    tick = jnp.asarray(0, jnp.int32)
+
+    # Warm-up/compile on a throwaway state.
+    jax.block_until_ready(run_chunk(pf, true_pose, odom_pose, u, wpt_idx,
+                                    tick)[0].poses)
+
+    t0 = time.time()
+    pf, true_pose, odom_pose, u, wpt_idx, tick, _ = run_chunk(
+        pf_init(pf_cfg, seed=3), true_pose, odom_pose, u, wpt_idx, tick)
+    jax.block_until_ready(pf.poses)
+    half = time.time() - t0
+
+    # ── Checkpoint/resume: the ENTIRE filter (500 poses + 500 maps +
+    # ESDFs + PRNG key) plus the controller state round-trips disk.
+    ckpt = os.path.join(tempfile.gettempdir(), "rbpf_explore_ckpt.npz")
+    state = (pf, true_pose, odom_pose, u, wpt_idx, tick)
+    save_pytree(ckpt, state)
+    restored = load_pytree(ckpt, state)
+    pf, true_pose, odom_pose, u, wpt_idx, tick = restored
+    print(f"checkpointed+restored PFState at scan {int(tick)} "
+          f"({os.path.getsize(ckpt) / 1e6:.1f} MB)")
+
+    t1 = time.time()
+    pf, true_pose, odom_pose, u, wpt_idx, tick, _ = run_chunk(
+        pf, true_pose, odom_pose, u, wpt_idx, tick)
+    pose, grid_best = best_particle(pf)
+    jax.block_until_ready(pose)
+    wall = half + (time.time() - t1)
+
+    err = np.asarray(pose) - np.asarray(true_pose)
+    err[0] = (err[0] + np.pi) % (2 * np.pi) - np.pi
+    odo_err = np.asarray(odom_pose) - np.asarray(true_pose)
+    odo_err[0] = (odo_err[0] + np.pi) % (2 * np.pi) - np.pi
+    occ = np.asarray(grid_best >= pf_cfg.grid.l_occ)
+    n_scans = int(tick)
+    return {
+        "slam_err": err, "odom_err": odo_err,
+        "occupied_cells": int(occ.sum()), "n_scans": n_scans,
+        "updates_per_sec": n_scans / wall,
+        "num_particles": pf_cfg.num_particles,
+        "mppi_rollouts": mppi_cfg.rollouts,
+        "mppi_solves": n_scans * TICKS_PER_SCAN,
+    }
+
+
+def main():
+    print("devices:", jax.devices())
+    r = run_experiment()
+    err, odo_err = r["slam_err"], r["odom_err"]
+    print(f"slam pose error (theta,x,y) = {err[0]:+.4f} {err[1]:+.4f} "
+          f"{err[2]:+.4f}  (|xy| = {np.hypot(err[1], err[2]) * 100:.2f} cm)")
+    print(f"odom pose error (theta,x,y) = {odo_err[0]:+.4f} "
+          f"{odo_err[1]:+.4f} {odo_err[2]:+.4f} "
+          f"(|xy| = {np.hypot(odo_err[1], odo_err[2]) * 100:.2f} cm)")
+    print(f"occupied cells: {r['occupied_cells']}")
+    print(f"{r['n_scans']} SLAM updates x {r['num_particles']} particles "
+          f"(+{r['mppi_solves']} fused MPPI solves @ "
+          f"K={r['mppi_rollouts']}) = {r['updates_per_sec']:.1f} updates/s")
+    assert np.hypot(err[1], err[2]) < 0.25, "SLAM pose diverged"
+
+
+if __name__ == "__main__":
+    main()
