@@ -37,16 +37,19 @@ def main():
                               resolution=0.05)
     rm = RoadMap(world, n_nodes=80, k_neighbors=10, clearance=0.18, seed=2)
     s_idx, g_idx = rm.add_node(START), rm.add_node(GOAL)
-    route = theta_star(rm, s_idx, g_idx)
+    route = theta_star(rm, s_idx, g_idx)   # (M, 2) node positions
     assert route is not None
-    wpts = np.asarray([rm.nodes[i] for i in route][1:], np.float32)
+    wpts = np.asarray(route, np.float32)[1:]   # skip the start node
     waypoints = jnp.asarray(np.concatenate(
         [wpts, np.zeros((len(wpts), 1), np.float32)], axis=1))
     print(f"theta* route: {[f'({p[0]:.2f},{p[1]:.2f})' for p in wpts]}")
 
     segs = segments_from_polygons(WALL)
-    obs_cfg = SegmentCostParams(r_safe=0.1, w_hit=1e7, w_field=5e3,
-                                sigma=0.1)
+    # Sharp field (sigma=0.05): strong inside ~15 cm of the wall, negligible
+    # at the Theta* route's 0.2 m clearance — otherwise the field gradient
+    # balances the LQR pull and the course stalls short of waypoints.
+    obs_cfg = SegmentCostParams(r_safe=0.1, w_hit=1e7, w_field=2e3,
+                                sigma=0.05)
     cfg = MPPIConfig(horizon=0.5, dt=0.01, rollouts=4096)  # H=50 steps
     course = CourseConfig(goal_thresh=0.1, tick_dt=1.0 / 60.0,
                           max_ticks=20_000, use_fused=True)

@@ -101,8 +101,9 @@ def make_segment_obstacle_cost(params: SegmentCostParams, segments):
         d = jnp.sqrt(jnp.sum(diff * diff, axis=-1)) - rr
         d = jnp.min(d, axis=-1)
         hit = (d <= params.r_safe).astype(d.dtype)
+        inv_sigma = jnp.float32(1.0 / params.sigma)   # kernel-identical
         return params.w_hit * hit + params.w_field * jnp.exp(
-            -(d - params.r_safe) / params.sigma)
+            -(d - params.r_safe) * inv_sigma)
 
     return cost_fn
 

@@ -106,13 +106,21 @@ def scan_end_points(cfg: GridConfig, ranges, pose):
     """Beam endpoints in the map frame + validity mask
     (ref: LaserScanner::laserEndPoints sensor_model.cpp:43-112; the sensor
     is assumed co-located with the base, Trs = identity as in the launch).
-    pose: (3,) [theta, x, y]."""
-    angles = pose[0] + cfg.beam_min + cfg.beam_delta * jnp.arange(
+    pose: (3,) [theta, x, y].
+
+    cos/sin of the static beam angles constant-fold; the pose heading
+    enters via the angle-addition identity, so a P·k-sample likelihood
+    sweep costs 2 transcendentals per SAMPLE instead of 2 per beam
+    (360× fewer at LDS-01 geometry — the likelihood field is the
+    proposal's hot loop, particle_filter.cpp:522-599)."""
+    beam = cfg.beam_min + cfg.beam_delta * jnp.arange(
         cfg.num_beams, dtype=ranges.dtype)
+    cb, sb = jnp.cos(beam), jnp.sin(beam)          # folded constants
+    c0, s0 = jnp.cos(pose[0]), jnp.sin(pose[0])
     valid = jnp.logical_and(ranges >= cfg.range_min, ranges < cfg.range_max)
     r = jnp.where(valid, ranges, cfg.range_min)
-    pts = jnp.stack([pose[1] + r * jnp.cos(angles),
-                     pose[2] + r * jnp.sin(angles)], axis=-1)
+    pts = jnp.stack([pose[1] + r * (c0 * cb - s0 * sb),
+                     pose[2] + r * (s0 * cb + c0 * sb)], axis=-1)
     return pts, valid
 
 

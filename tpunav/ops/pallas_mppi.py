@@ -62,15 +62,15 @@ def _box_muller(shape):
 
 
 def _mppi_kernel(cfg: MPPIConfig, model: CartParams, sub: int,
-                 external_noise: bool, obs: "SegmentCostParams | None",
-                 n_obs: int, partial_out: bool, *refs):
+                 external_noise: bool, n_obs: int, partial_out: bool,
+                 *refs):
     refs = list(refs)
     u_ref, pose_ref, xd_ref, seed_ref = refs[:4]
     refs = refs[4:]
     if external_noise:
         en0_ref, en1_ref = refs[:2]
         refs = refs[2:]
-    if obs is not None:
+    if n_obs:
         obs_ref = refs.pop(0)
     uout_ref, loss_ref = refs
 
@@ -138,12 +138,14 @@ def _mppi_kernel(cfg: MPPIConfig, model: CartParams, sub: int,
             p0, p1_, p2 = cfg.p1_diag
             loss_ref[t] = p0 * ex * ex + p1_ * ey * ey + p2 * et * et
 
-        if obs is not None:
+        if n_obs:
             # Analytic primitive-set obstacle cost, evaluated in-register
             # on the (S, 128) position block — the fused-kernel form of
             # control/obstacle_cost.py:make_segment_obstacle_cost. Added
             # AFTER the terminal overwrite, matching the XLA path's
             # `loss.at[-1].set(terminal); loss += extra_cost(traj)`.
+            # Weights live in SMEM (row n_obs of the obstacle array), so
+            # tuning the cost field never recompiles the kernel.
             d = jnp.full(shape, jnp.inf, jnp.float32)
             for o in range(n_obs):       # static unroll; scalars from SMEM
                 ax, ay = obs_ref[o, 0], obs_ref[o, 1]
@@ -156,9 +158,13 @@ def _mppi_kernel(cfg: MPPIConfig, model: CartParams, sub: int,
                 px = x - (ax + tp * abx)
                 py = y - (ay + tp * aby)
                 d = jnp.minimum(d, jnp.sqrt(px * px + py * py) - rr)
-            hit = (d <= obs.r_safe).astype(jnp.float32)
-            loss_ref[t] = loss_ref[t] + obs.w_hit * hit + \
-                obs.w_field * jnp.exp(-(d - obs.r_safe) / obs.sigma)
+            r_safe = obs_ref[n_obs, 0]
+            w_hit = obs_ref[n_obs, 1]
+            w_field = obs_ref[n_obs, 2]
+            inv_sigma = obs_ref[n_obs, 3]
+            hit = (d <= r_safe).astype(jnp.float32)
+            loss_ref[t] = loss_ref[t] + w_hit * hit + \
+                w_field * jnp.exp(-(d - r_safe) * inv_sigma)
 
         return x, y, th
 
@@ -220,23 +226,23 @@ def _mppi_kernel(cfg: MPPIConfig, model: CartParams, sub: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "model", "obs_cfg", "partial_out", "interpret"))
+    static_argnames=("cfg", "model", "partial_out", "interpret"))
 def _solve_update(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
-                  xd, noise=None, obstacles=None, obs_cfg=None,
+                  xd, noise=None, obstacles=None,
                   partial_out=False, interpret=False):
     """Run the fused kernel; returns the updated (N,2) controls pre-shift
-    (or the (N,6) per-shard softmax partials when ``partial_out``)."""
+    (or the (N,6) per-shard softmax partials when ``partial_out``).
+    ``obstacles`` is the PACKED (O+1, 5) array from :func:`pack_obstacles`
+    — primitives plus a trailing runtime-weights row."""
     if cfg.rollouts % _LANES != 0:
         raise ValueError(f"rollouts must be a multiple of {_LANES}")
-    if (obstacles is None) != (obs_cfg is None):
-        raise ValueError("pass obstacles and obs_cfg together")
     sub = cfg.rollouts // _LANES
     n = cfg.steps
     external = noise is not None
-    n_obs = 0 if obstacles is None else obstacles.shape[0]
+    n_obs = 0 if obstacles is None else obstacles.shape[0] - 1
 
     kern = functools.partial(_mppi_kernel, cfg, model, sub, external,
-                             obs_cfg, n_obs, partial_out)
+                             n_obs, partial_out)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),      # u (N,2)
         pl.BlockSpec(memory_space=pltpu.SMEM),      # pose (1,3)
@@ -251,8 +257,8 @@ def _solve_update(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         args += [noise[..., 0].astype(jnp.float32),
                  noise[..., 1].astype(jnp.float32)]
-    if obstacles is not None:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]   # (O,5)
+    if n_obs:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]   # (O+1, 5)
         args += [obstacles.astype(jnp.float32)]
 
     out_cols = 6 if partial_out else 2
@@ -268,6 +274,22 @@ def _solve_update(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
     )(*args)
 
 
+def pack_obstacles(obstacles, obs_cfg):
+    """Pack (O, 5) segment primitives [ax, ay, bx, by, r] and the cost
+    weights (:class:`tpunav.control.obstacle_cost.SegmentCostParams`) into
+    the kernel's (O+1, 5) SMEM layout: weights ride in the trailing row as
+    RUNTIME scalars [r_safe, w_hit, w_field, 1/sigma, 0], so tuning the
+    field never recompiles the kernel. Returns None when obstacles is
+    None."""
+    if obstacles is None:
+        return None
+    if obs_cfg is None:
+        raise ValueError("pass obstacles and obs_cfg together")
+    row = jnp.asarray([[obs_cfg.r_safe, obs_cfg.w_hit, obs_cfg.w_field,
+                        1.0 / obs_cfg.sigma, 0.0]], jnp.float32)
+    return jnp.concatenate([jnp.asarray(obstacles, jnp.float32), row])
+
+
 def mppi_solve_partials(cfg: MPPIConfig, model: CartParams, u, seed,
                         pose_xyt, xd, noise=None, obstacles=None,
                         obs_cfg=None, interpret=False):
@@ -276,8 +298,8 @@ def mppi_solve_partials(cfg: MPPIConfig, model: CartParams, u, seed,
     cross-device reduction in
     :func:`tpunav.parallel.mppi_sharded.mppi_solve_fused_sharded`."""
     return _solve_update(cfg, model, u, seed, pose_xyt, xd, noise,
-                         obstacles, obs_cfg, partial_out=True,
-                         interpret=interpret)
+                         pack_obstacles(obstacles, obs_cfg),
+                         partial_out=True, interpret=interpret)
 
 
 def mppi_solve_fused(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
@@ -296,5 +318,6 @@ def mppi_solve_fused(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
     Returns (wheel_cmd (2,), u_next (N, 2)) like ``mppi_solve``.
     """
     u_new = _solve_update(cfg, model, u, seed, pose_xyt, xd, noise,
-                          obstacles, obs_cfg, interpret=interpret)
+                          pack_obstacles(obstacles, obs_cfg),
+                          interpret=interpret)
     return u_new[0], shift_controls(cfg, u_new)
