@@ -171,8 +171,12 @@ def _proposal_update(cfg: PFConfig, ranges, T_icp, cur_odom, prev_odom,
     samples = T_x + jax.random.normal(k1, (k, 3), pose.dtype) * std
     samples = samples.at[:, 0].set(normalize_angle_pi(samples[:, 0]))
 
+    # One field-wide reduction per particle, NOT per sample (see
+    # likelihood_field_log's any_occ note).
+    any_occ = jnp.any(dist_field < cfg.grid.max_occ_dist)
     logp_scan = jax.vmap(
-        lambda s: likelihood_field_log(cfg.grid, dist_field, ranges, s)
+        lambda s: likelihood_field_log(cfg.grid, dist_field, ranges, s,
+                                       any_occ)
     )(samples)
     p_scan = jnp.clip(jnp.exp(jnp.clip(logp_scan, -60.0, 60.0)),
                       cfg.scan_lik_min, cfg.scan_lik_max)
