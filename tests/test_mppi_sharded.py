@@ -76,3 +76,46 @@ def test_sharded_closed_loop_step_runs():
                         jnp.array([0.5, 0.0, 0.0]))
     assert np.all(np.isfinite(np.asarray(cmd)))
     assert u_next.shape == (cfg.steps, 2)
+
+
+def test_fused_sharded_matches_single_fused_kernel():
+    """The FUSED Pallas path executed on all 8 mesh devices (external
+    noise + interpret mode — the in-kernel PRNG needs real hardware):
+    per-shard partials + pmin/psum combine must equal the single-program
+    fused kernel fed the identical full noise tensor (VERDICT r2 item 3)."""
+    from tpunav.ops.pallas_mppi import mppi_solve_fused
+    from tpunav.parallel import mppi_solve_fused_sharded
+
+    mesh = rollout_mesh()
+    nd = mesh.devices.size
+    cfg = m.MPPIConfig(rollouts=8 * 128, horizon=0.2, dt=0.01)
+    sub = cfg.rollouts // 128
+    u = m.init_controls(cfg, dtype=jnp.float32)
+    pose = jnp.array([0.1, -0.2, 0.3], jnp.float32)
+    xd = jnp.array([1.0, 1.0, 0.0], jnp.float32)
+    sig = jnp.sqrt(jnp.asarray([cfg.ul_var, cfg.ur_var], jnp.float32))
+    noise = jax.random.normal(
+        jax.random.PRNGKey(5), (cfg.steps, sub, 128, 2), jnp.float32) * sig
+
+    cmd_1, u_next_1 = mppi_solve_fused(cfg, MODEL, u, 0, pose, xd,
+                                       noise=noise, interpret=True)
+
+    solve = mppi_solve_fused_sharded(cfg, MODEL, mesh, with_noise=True,
+                                     interpret=True)
+    cmd_8, u_next_8 = solve(u, jnp.int32(0), pose, xd, noise)
+    assert nd == 8
+    np.testing.assert_allclose(np.asarray(cmd_8), np.asarray(cmd_1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_next_8), np.asarray(u_next_1),
+                               atol=1e-5)
+
+
+def test_fused_sharded_rejects_bad_axis_split():
+    from tpunav.parallel import mppi_solve_fused_sharded
+    mesh = rollout_mesh()
+    try:
+        mppi_solve_fused_sharded(_cfg(129), MODEL, mesh)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised

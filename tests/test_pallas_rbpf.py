@@ -1,0 +1,101 @@
+"""Interpret-mode parity of the RBPF Pallas kernels vs the portable XLA
+formulations (the real-PRNG-free kernels run under interpret=True on the
+CPU test mesh; the on-TPU compiled parity lives in tests/tpu/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpunav.estimation.rbpf import GridConfig
+from tpunav.estimation.rbpf.grid import esdf, grid_init, integrate_scan
+from tpunav.ops.pallas_likelihood import _lik_pallas, _lik_xla
+from tpunav.ops.pallas_map_update import map_update_batch
+from tpunav.sim.lidar import box_segments, scan_segments
+
+CFG = GridConfig(resolution=0.1, num_beams=90, beam_delta=2 * jnp.pi / 90)
+
+
+def test_likelihood_kernel_matches_xla():
+    p, k = 3, 7
+    h, w = CFG.height, CFG.width
+    dists = jax.random.uniform(jax.random.PRNGKey(0), (p, h, w),
+                               jnp.float32, 0.0, 3.0)
+    dists = dists.at[2].set(CFG.max_occ_dist)        # empty-map particle
+    ranges = jax.random.uniform(jax.random.PRNGKey(1), (CFG.num_beams,),
+                                jnp.float32, 0.05, 4.0)  # some invalid
+    samples = jax.random.normal(jax.random.PRNGKey(2), (p, k, 3),
+                                jnp.float32) * 0.4
+    a = _lik_pallas(CFG, dists, ranges, samples, interpret=True)
+    b = _lik_xla(CFG, dists, ranges, samples)
+    # bf16-split field: ~16 mantissa bits → small absolute slack on
+    # |logp| ~ 1e3 sums.
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=0.05, rtol=1e-4)
+    assert np.all(np.asarray(a[2]) == 0.0)           # empty-map early-out
+
+
+def test_map_update_kernel_matches_xla():
+    p = 4
+    h, w = CFG.height, CFG.width
+    segs = box_segments(-1.5, -1.5, 1.5, 1.5, jnp.float32)
+    poses = jnp.asarray(
+        [[0.0, 0.0, 0.0], [0.3, 0.2, -0.1], [-0.7, -0.4, 0.5],
+         [2.9, 1.2, 1.1]], jnp.float32)
+    ranges = scan_segments(poses[0], segs, num_beams=CFG.num_beams,
+                           beam_delta=CFG.beam_delta,
+                           max_range=CFG.range_max,
+                           key=jax.random.PRNGKey(3), noise_std=0.01)
+    grids = jnp.stack([
+        grid_init(CFG),
+        integrate_scan(CFG, grid_init(CFG), ranges, poses[1]),
+        grid_init(CFG) + 0.3,
+        integrate_scan(CFG, grid_init(CFG), ranges, poses[3]),
+    ])
+
+    g_k, d_k = map_update_batch(CFG, grids, ranges, poses, interpret=True)
+    g_x = jax.vmap(lambda g, q: integrate_scan(CFG, g, ranges, q)
+                   )(grids, poses)
+    d_x = jax.vmap(lambda g: esdf(CFG, g))(g_x)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_x),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pf_step_backends_agree():
+    """One full pf_slam_step under backend='xla' vs 'pallas-interpret':
+    identical PRNG streams → near-identical particle sets."""
+    from tpunav.estimation.rbpf import PFConfig, pf_init
+    from tpunav.estimation.rbpf.icp import ICPConfig
+    from tpunav.estimation.rbpf.particle_filter import pf_slam_step
+
+    cfg = PFConfig(num_particles=4, k_samples=6,
+                   sample_range=(1e-6, 1e-5, 1e-5),
+                   motion_noise=(1e-6, 1e-5, 1e-5),
+                   grid=CFG, icp=ICPConfig(max_iter=15))
+    segs = box_segments(-1.5, -1.5, 1.5, 1.5, jnp.float32)
+    u = jnp.array([0.02, 0.01], jnp.float32)
+    pose = jnp.array([0.02, 0.01, 0.0], jnp.float32)
+    scan = scan_segments(pose, segs, num_beams=CFG.num_beams,
+                         beam_delta=CFG.beam_delta, max_range=CFG.range_max)
+
+    st0 = pf_init(cfg, seed=3)
+    # Seed the map so the likelihood field is non-trivial.
+    st0 = st0._replace(
+        grids=jax.vmap(lambda g: integrate_scan(CFG, g, scan, pose)
+                       )(st0.grids))
+    st0 = st0._replace(
+        dists=jax.vmap(lambda g: esdf(CFG, g))(st0.grids),
+        prev_scan=scan, has_prev=jnp.asarray(True))
+
+    a = pf_slam_step(cfg, st0, scan, u, pose, jnp.zeros(3, jnp.float32),
+                     backend="xla")
+    b = pf_slam_step(cfg, st0, scan, u, pose, jnp.zeros(3, jnp.float32),
+                     backend="pallas-interpret")
+
+    np.testing.assert_allclose(np.asarray(a.poses), np.asarray(b.poses),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.log_weights),
+                               np.asarray(b.log_weights), atol=0.05)
+    np.testing.assert_allclose(np.asarray(a.grids), np.asarray(b.grids),
+                               atol=1e-3)

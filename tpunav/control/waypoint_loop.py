@@ -74,6 +74,17 @@ def course_tick(cfg: MPPIConfig, course: CourseConfig, model: CartParams,
     in-kernel primitive obstacle cost (fused path) — on the XLA path pass
     ``extra_cost`` instead.
     """
+    if course.use_fused and extra_cost is not None:
+        raise ValueError(
+            "extra_cost is XLA-path only; with use_fused=True pass the "
+            "in-kernel obstacles/obs_cfg instead (advisor r2 fix: the "
+            "flag must not silently drop a cost term)")
+    if not course.use_fused and (obstacles is not None or
+                                 obs_cfg is not None):
+        raise ValueError(
+            "obstacles/obs_cfg are fused-kernel only; with "
+            "use_fused=False pass extra_cost "
+            "(control/obstacle_cost.py:make_segment_obstacle_cost)")
     n_wpts = waypoints.shape[0]
     wpt = waypoints[st.wpt_idx]
     d2g = jnp.hypot(st.pose[0] - wpt[0], st.pose[1] - wpt[1])

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.distance_transform import euclidean_distance_field
+from ...ops.trig import atan2, positive_mod, round_half_up
 
 
 def _log_odds(p):
@@ -124,6 +125,31 @@ def scan_end_points(cfg: GridConfig, ranges, pose):
     return pts, valid
 
 
+def _dilate3x3(mask):
+    """8-neighbor dilation with zero fill at the map edges."""
+    h, w = mask.shape
+    mp = jnp.pad(mask, 1)
+    out = mask
+    for dy in range(3):
+        for dx in range(3):
+            out = jnp.maximum(out, mp[dy:dy + h, dx:dx + w])
+    return out
+
+
+def beams_per_revolution(cfg: GridConfig) -> int:
+    """Number of beam slots in a full revolution; raises unless
+    ``beam_delta`` divides 2π evenly (otherwise the dense per-cell beam
+    assignment would wrap to the wrong beam — advisor r2 fix)."""
+    two_pi = 2.0 * jnp.pi
+    b_full_f = float(two_pi / cfg.beam_delta)
+    b_full = int(round(b_full_f))
+    if abs(b_full_f - b_full) > 1e-6:
+        raise ValueError(
+            f"beam_delta={cfg.beam_delta} must divide 2*pi evenly "
+            f"(got {b_full_f} beams/revolution)")
+    return b_full
+
+
 def integrate_scan(cfg: GridConfig, log_odds, ranges, pose):
     """Fold one scan into the grid: free cells along each beam get
     l_free − l_prior, each endpoint cell gets l_occ − l_prior
@@ -140,11 +166,27 @@ def integrate_scan(cfg: GridConfig, log_odds, ranges, pose):
     cell between two rays gets the same mass in expectation (m < 1)
     instead of stochastic whole hits. O(H·W) gathers per particle, no
     scatter on the hot path (the endpoint update scatters only B indices).
+
+    Free-space guards (advisor r2 fix — the reference's Bresenham never
+    marks a hit cell free, and stops one cell short of the endpoint): a
+    cell is marked free only if it lies more than one cell short of its
+    covering beam's range AND is not within one cell of ANY valid beam
+    endpoint (3×3-dilated endpoint mask). Without these, a thin obstacle
+    hit by one beam whose cell center rounds to an adjacent longer beam
+    would net-accumulate free mass every scan.
+
+    On TPU, :func:`tpunav.ops.pallas_map_update.map_update_batch` fuses
+    this (and the ESDF rebuild) into one VMEM-resident kernel; this XLA
+    implementation is the portable reference with identical semantics.
     """
     h, w = cfg.height, cfg.width
     pts, valid = scan_end_points(cfg, ranges, pose)
     eiy, eix = world_to_cell(cfg, pts)                # (B,)
     eflat = eiy * w + eix
+
+    em = jnp.zeros((h * w,), log_odds.dtype).at[eflat].max(
+        valid.astype(log_odds.dtype)).reshape(h, w)
+    emd = _dilate3x3(em)
 
     # Static cell-center coordinates.
     res = cfg.resolution
@@ -154,18 +196,19 @@ def integrate_scan(cfg: GridConfig, log_odds, ranges, pose):
     dy = cy[:, None] - pose[2]                        # (H, 1)
     r_c = jnp.sqrt(dx * dx + dy * dy)                 # (H, W)
     two_pi = 2.0 * jnp.pi
-    alpha = jnp.mod(jnp.arctan2(dy, dx) - pose[0] - cfg.beam_min, two_pi)
+    # Kernel-safe trig (ops/trig.py) so the XLA and Pallas map-update
+    # paths quantize cells to beams identically.
+    alpha = positive_mod(atan2(dy, dx) - pose[0] - cfg.beam_min, two_pi)
 
-    b_full = int(round(two_pi / cfg.beam_delta))      # beams per revolution
-    b = jnp.round(alpha / cfg.beam_delta).astype(jnp.int32) % b_full
+    b_full = beams_per_revolution(cfg)                # beams per revolution
+    b = round_half_up(alpha / cfg.beam_delta).astype(jnp.int32) % b_full
     in_fov = b < cfg.num_beams
     bi = jnp.clip(b, 0, cfg.num_beams - 1)
 
     # Beam range gathered per cell; invalid beams never mark free space.
     r_beam = jnp.where(valid, ranges, -1.0)[bi]       # (H, W)
-    flat = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
-    free = jnp.logical_and(in_fov, r_c < r_beam)
-    free = jnp.logical_and(free, flat != eflat[bi])   # endpoint cell excluded
+    free = jnp.logical_and(in_fov, r_c < r_beam - res)
+    free = jnp.logical_and(free, emd < 0.5)
 
     m = jnp.minimum(res / (jnp.maximum(r_c, 0.5 * res) * cfg.beam_delta),
                     float(cfg.num_beams))

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 
 from ...core import se2
 from ...core.angles import normalize_angle_pi
+from ...ops.pallas_likelihood import likelihood_field_batch
+from ...ops.pallas_map_update import map_update_batch
 from .grid import (
     GridConfig,
     esdf,
@@ -159,25 +161,24 @@ def _icp_init_guess(cur_odom, prev_odom):
     return jnp.stack([dth, c * dx + s * dy, -s * dx + c * dy])
 
 
-def _proposal_update(cfg: PFConfig, ranges, T_icp, cur_odom, prev_odom,
-                     pose, dist_field, key):
-    """Gaussian-proposal pose update for ONE particle
-    (ref: sampleMode + gaussianProposal particle_filter.cpp:504-599).
-    Returns (new_pose, log_weight_increment)."""
-    k = cfg.k_samples
-    T_x = se2.compose(pose, T_icp)                 # mode (ref: :181-186)
+def _draw_samples(cfg: PFConfig, pose, T_icp, key):
+    """Per-particle proposal samples around the ICP mode
+    (ref: sampleMode particle_filter.cpp:504-519). Returns the (k, 3)
+    samples and the key for the final pose draw."""
     k1, k2 = jax.random.split(key)
+    T_x = se2.compose(pose, T_icp)                 # mode (ref: :181-186)
     std = jnp.sqrt(jnp.asarray(cfg.sample_range, pose.dtype))
-    samples = T_x + jax.random.normal(k1, (k, 3), pose.dtype) * std
+    samples = T_x + jax.random.normal(k1, (cfg.k_samples, 3),
+                                      pose.dtype) * std
     samples = samples.at[:, 0].set(normalize_angle_pi(samples[:, 0]))
+    return samples, k2
 
-    # One field-wide reduction per particle, NOT per sample (see
-    # likelihood_field_log's any_occ note).
-    any_occ = jnp.any(dist_field < cfg.grid.max_occ_dist)
-    logp_scan = jax.vmap(
-        lambda s: likelihood_field_log(cfg.grid, dist_field, ranges, s,
-                                       any_occ)
-    )(samples)
+
+def _gaussian_from_samples(cfg: PFConfig, samples, logp_scan, pose,
+                           cur_odom, prev_odom, k2):
+    """Likelihood-weighted Gaussian fit + draw for ONE particle given its
+    precomputed scan log-likelihoods (ref: gaussianProposal
+    particle_filter.cpp:522-599). Returns (new_pose, log η)."""
     p_scan = jnp.clip(jnp.exp(jnp.clip(logp_scan, -60.0, 60.0)),
                       cfg.scan_lik_min, cfg.scan_lik_max)
     p_pose = jax.vmap(
@@ -193,17 +194,9 @@ def _proposal_update(cfg: PFConfig, ranges, T_icp, cur_odom, prev_odom,
     sigma = jnp.einsum("ki,kj,k->ij", diff, diff, p) / eta
     chol = jnp.linalg.cholesky(
         sigma + 1e-12 * jnp.eye(3, dtype=sigma.dtype))
-    new_pose = mu + chol @ jax.random.normal(k2, (3,), pose.dtype)
+    new_pose = mu + chol @ jax.random.normal(k2, (3,), mu.dtype)
     new_pose = new_pose.at[0].set(normalize_angle_pi(new_pose[0]))
     return new_pose, jnp.log(eta)
-
-
-def _fallback_update(cfg: PFConfig, ranges, u, pose, dist_field, key):
-    """Motion-model sampling + scan-likelihood weighting when ICP fails
-    (ref: particle_filter.cpp:160-176)."""
-    new_pose = _sample_motion_model(cfg, pose, u, key)
-    logw = likelihood_field_log(cfg.grid, dist_field, ranges, new_pose)
-    return new_pose, logw
 
 
 def _low_variance_resample(cfg: PFConfig, st: PFState, key) -> PFState:
@@ -227,14 +220,25 @@ def _low_variance_resample(cfg: PFConfig, st: PFState, key) -> PFState:
 
 
 def pf_slam_step(cfg: PFConfig, st: PFState, ranges, u, cur_odom,
-                 prev_odom) -> PFState:
+                 prev_odom, backend: str | None = None) -> PFState:
     """One full RBPF SLAM update
     (ref: ParticleFilter::SLAM particle_filter.cpp:141-251):
     ICP against the previous scan (odometry init guess) → per-particle
     pose proposal (Gaussian proposal on success, motion model on failure)
     → per-particle map integration → weight normalization → conditional
-    low-variance resampling at N_eff < P/2."""
+    low-variance resampling at N_eff < P/2.
+
+    ``backend``: "pallas" routes the two hot stages (the P×k likelihood
+    sweep and the per-particle map-integrate + EDT rebuild) through the
+    fused TPU kernels (ops/pallas_likelihood.py, ops/pallas_map_update.py);
+    "pallas-interpret" runs those kernels under the Pallas interpreter
+    (CPU-testable); "xla" keeps the portable formulation; None = pallas
+    on TPU.
+    """
     p = cfg.num_particles
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    interpret = backend == "pallas-interpret"
     key, k_icp, k_particles, k_res = jax.random.split(st.key, 4)
     pkeys = jax.random.split(k_particles, p)
 
@@ -249,27 +253,42 @@ def pf_slam_step(cfg: PFConfig, st: PFState, ranges, u, cur_odom,
     matcher_ok = jnp.logical_and(icp.converged, st.has_prev)
 
     def success_branch(_):
+        samples, k2s = jax.vmap(
+            lambda pose, k: _draw_samples(cfg, pose, icp.transform, k)
+        )(st.poses, pkeys)                                # (P, k, 3)
+        logp_scan = likelihood_field_batch(
+            cfg.grid, st.dists, ranges, samples, backend=backend)
         return jax.vmap(
-            lambda pose, dist, k: _proposal_update(
-                cfg, ranges, icp.transform, cur_odom, prev_odom, pose,
-                dist, k)
-        )(st.poses, st.dists, pkeys)
+            lambda s, lp, pose, k2: _gaussian_from_samples(
+                cfg, s, lp, pose, cur_odom, prev_odom, k2)
+        )(samples, logp_scan, st.poses, k2s)
 
     def fail_branch(_):
-        return jax.vmap(
-            lambda pose, dist, k: _fallback_update(
-                cfg, ranges, u, pose, dist, k)
-        )(st.poses, st.dists, pkeys)
+        """Motion-model sampling + scan-likelihood weighting when ICP
+        fails (ref: particle_filter.cpp:160-176)."""
+        new_poses = jax.vmap(
+            lambda pose, k: _sample_motion_model(cfg, pose, u, k)
+        )(st.poses, pkeys)
+        logw = likelihood_field_batch(
+            cfg.grid, st.dists, ranges, new_poses[:, None, :],
+            backend=backend)[:, 0]
+        return new_poses, logw
 
     new_poses, dlogw = jax.lax.cond(matcher_ok, success_branch,
                                     fail_branch, None)
     log_weights = st.log_weights + dlogw
 
     # Every particle integrates the scan into ITS OWN map (ref: :236-240).
-    grids = jax.vmap(
-        lambda g, pose: integrate_scan(cfg.grid, g, ranges, pose)
-    )(st.grids, new_poses)
-    dists = jax.vmap(lambda g: esdf(cfg.grid, g))(grids)
+    if backend in ("pallas", "pallas-interpret"):
+        grids, dists = map_update_batch(cfg.grid, st.grids, ranges,
+                                        new_poses, interpret=interpret)
+        grids = grids.astype(st.grids.dtype)
+        dists = dists.astype(st.dists.dtype)
+    else:
+        grids = jax.vmap(
+            lambda g, pose: integrate_scan(cfg.grid, g, ranges, pose)
+        )(st.grids, new_poses)
+        dists = jax.vmap(lambda g: esdf(cfg.grid, g))(grids)
 
     # Normalize + N_eff (ref: normalizeWeights/effectiveParticles
     # :442-465).

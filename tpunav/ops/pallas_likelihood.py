@@ -1,0 +1,187 @@
+"""Batched likelihood-field sensor model as a Pallas TPU kernel.
+
+The RBPF proposal sweep evaluates log P(z | m, x) for P particles × k
+pose samples against per-particle distance fields
+(ref: gaussianProposal bmapping/src/bmapping/particle_filter.cpp:522-599
+calling likelihoodFieldModel grid_mapper.cpp:69-133). At BASELINE scale
+(P=500, k=50, 360 beams) that is 9M random lookups into (P, 80, 80)
+fields per update — measured 130 ms as an XLA gather on a v5e chip, 65%
+of the whole SLAM step.
+
+TPU-native formulation: a gather from a small 2D table is two EXACT
+one-hot contractions on the MXU,
+
+    d[q] = Σ_r Σ_c D[r, c] · 1[iy_q = r] · 1[ix_q = c]
+         = (row-one-hot @ D) ⊙ col-one-hot, summed over columns,
+
+because each one-hot row has exactly one nonzero — no accumulation error.
+The kernel runs one grid program per particle with the particle's field
+resident in VMEM, processes the k·B query stream in lane-major chunks,
+and applies the mixture z_hit·N(d; σ_hit²) + z_rand/z_max in log space
+exactly like :func:`tpunav.estimation.rbpf.grid.likelihood_field_log`.
+The field is split D = hi + lo into two bfloat16 operands (one-hots are
+exact in bf16), so the MXU runs at bf16 rate while d keeps ~16 mantissa
+bits (≤1e-4 absolute in the summed log-likelihood at these field
+magnitudes). Per-sample beam sums ride a static block-diagonal segment
+matrix through the MXU as well — no cross-lane reductions on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _lik_kernel(h: int, w: int, bp: int, ch_s: int, n_chunks: int,
+                zh_norm: float, inv_var: float, floor: float,
+                max_occ: float,
+                iy_ref, ix_ref, mask_ref, sseg_ref, dist_ref, out_ref):
+    ch_q = ch_s * bp
+    d_full = dist_ref[0]                                    # (H, W) f32
+    d_hi = d_full.astype(jnp.bfloat16)
+    d_lo = (d_full - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Empty-map early-out flag (ref: grid_mapper.cpp:95-100 — an all-free
+    # map scores log 1 = 0 for every pose).
+    any_occ = (jnp.min(d_full) < max_occ).astype(jnp.float32)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (h, ch_q), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (w, ch_q), 0)
+
+    def chunk(c, _):
+        q0 = c * ch_q
+        iy = iy_ref[0, 0:1, pl.ds(q0, ch_q)]                # (1, CH_Q)
+        ix = ix_ref[0, 0:1, pl.ds(q0, ch_q)]
+        ro = (row_iota == iy).astype(jnp.bfloat16)          # (H, CH_Q)
+        co = (col_iota == ix).astype(jnp.float32)           # (W, CH_Q)
+        a = jax.lax.dot_general(                            # (W, CH_Q)
+            d_hi, ro, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        a = a + jax.lax.dot_general(
+            d_lo, ro, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d = jnp.sum(a * co, axis=0, keepdims=True)          # (1, CH_Q)
+        pz = zh_norm * jnp.exp((-0.5 * inv_var) * d * d) + floor
+        lp = jnp.log(pz) * mask_ref[0, 0:1, pl.ds(q0, ch_q)]
+        seg = jax.lax.dot_general(                          # (1, CH_S)
+            lp, sseg_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0:1, pl.ds(c, 1), :] = (seg * any_occ).reshape(1, 1, ch_s)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _lik_pallas(cfg, dist_fields, ranges, samples, interpret=False):
+    p, h, w = dist_fields.shape
+    k = samples.shape[1]
+    b = cfg.num_beams
+    bp = _round_up(b, _LANES)
+    # ~3840-lane chunks: big enough to fill the MXU, small enough that the
+    # one-hot scratch stays ~1 MB.
+    ch_s = max(1, 3840 // bp)
+    kp = _round_up(k, ch_s)
+    n_chunks = kp // ch_s
+    ch_q = ch_s * bp
+    f32 = jnp.float32
+
+    # Beam endpoints for every (particle, sample, beam) — the same math as
+    # grid.scan_end_points, batched; padding beams/samples get index 0 and
+    # a zero mask.
+    beam = cfg.beam_min + cfg.beam_delta * jnp.arange(b, dtype=f32)
+    cb, sb = jnp.cos(beam), jnp.sin(beam)
+    valid = jnp.logical_and(ranges >= cfg.range_min, ranges < cfg.range_max)
+    r = jnp.where(valid, ranges, cfg.range_min).astype(f32)
+    rcb = jnp.pad(r * cb, (0, bp - b))                      # (Bp,)
+    rsb = jnp.pad(r * sb, (0, bp - b))
+    maskb = jnp.pad(valid.astype(f32), (0, bp - b))
+
+    th = samples[..., 0].astype(f32)                        # (P, K)
+    c0, s0 = jnp.cos(th), jnp.sin(th)
+    ex = (samples[..., 1, None].astype(f32) +
+          c0[..., None] * rcb - s0[..., None] * rsb)        # (P, K, Bp)
+    ey = (samples[..., 2, None].astype(f32) +
+          s0[..., None] * rcb + c0[..., None] * rsb)
+    inv_res = 1.0 / cfg.resolution
+    ix = jnp.clip(jnp.floor((ex - cfg.xmin) * inv_res), 0, w - 1)
+    iy = jnp.clip(jnp.floor((ey - cfg.ymin) * inv_res), 0, h - 1)
+    pad_k = ((0, 0), (0, kp - k), (0, 0))
+    iy = jnp.pad(iy.astype(jnp.int32), pad_k).reshape(p, 1, kp * bp)
+    ix = jnp.pad(ix.astype(jnp.int32), pad_k).reshape(p, 1, kp * bp)
+    maskq = jnp.tile(maskb, (1, 1, kp)).astype(f32)         # (1, 1, Kp·Bp)
+
+    # Static block-diagonal segment matrix: query q sums into sample q//Bp.
+    qi = jnp.arange(ch_q) // bp
+    sseg = (qi[:, None] == jnp.arange(ch_s)[None, :]).astype(f32)
+
+    var = float(cfg.sigma_hit) ** 2
+    zh_norm = float(cfg.z_hit) / (2.0 * jnp.pi * var) ** 0.5
+    floor = float(cfg.z_rand) / float(cfg.z_max)
+
+    kern = functools.partial(
+        _lik_kernel, h, w, bp, ch_s, n_chunks, zh_norm, 1.0 / var, floor,
+        float(cfg.max_occ_dist))
+    out = pl.pallas_call(
+        kern,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, 1, kp * bp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # iy
+            pl.BlockSpec((1, 1, kp * bp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # ix
+            pl.BlockSpec((1, 1, kp * bp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),          # mask
+            pl.BlockSpec((ch_q, ch_s), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),          # seg matrix
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # dist field
+        ],
+        out_specs=pl.BlockSpec((1, n_chunks, ch_s), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, n_chunks, ch_s), f32),
+        interpret=interpret,
+    )(iy, ix, maskq, sseg, dist_fields.astype(f32))
+    return out.reshape(p, kp)[:, :k]
+
+
+def _lik_xla(cfg, dist_fields, ranges, samples):
+    from ..estimation.rbpf.grid import likelihood_field_log
+
+    def per_particle(dist, samp):
+        any_occ = jnp.any(dist < cfg.max_occ_dist)
+        return jax.vmap(
+            lambda s: likelihood_field_log(cfg, dist, ranges, s, any_occ)
+        )(samp)
+
+    return jax.vmap(per_particle)(dist_fields, samples)
+
+
+def likelihood_field_batch(cfg, dist_fields, ranges, samples, *,
+                           backend: str | None = None,
+                           interpret: bool = False):
+    """log P(z | m, x) for a (P, K, 3) batch of poses against (P, H, W)
+    distance fields under the likelihood-field mixture
+    (ref: bmapping/src/bmapping/grid_mapper.cpp:69-133). Returns (P, K).
+
+    ``backend``: "pallas" (TPU kernel), "pallas-interpret" (kernel under
+    the Pallas interpreter — CPU-testable), "xla" (pure-jnp gather — the
+    reference formulation, exact), or None = pallas on TPU, xla elsewhere.
+    """
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas-interpret":
+        backend, interpret = "pallas", True
+    if backend == "pallas":
+        return _lik_pallas(cfg, dist_fields, ranges, samples,
+                           interpret=interpret)
+    return _lik_xla(cfg, dist_fields, ranges, samples)

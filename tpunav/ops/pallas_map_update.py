@@ -1,0 +1,210 @@
+"""Fused per-particle occupancy-grid update + distance field as one
+Pallas TPU kernel.
+
+The RBPF integrates every scan into every particle's map and rebuilds the
+particle's obstacle distance field
+(ref: GridMapper::integrateScan bmapping/src/bmapping/grid_mapper.cpp:140-182
++ euclideanSignedDistanceField :333-435 — the reference's hottest loop,
+SURVEY.md §3.3). The XLA formulation (tpunav/estimation/rbpf/grid.py)
+costs ~110 ms at P=500 on a v5e chip, dominated by per-cell gathers from
+the range table and by HBM round-trips between the many small elementwise
+stages. Here ONE grid program per particle keeps the whole 80×80 map in
+VMEM end-to-end:
+
+1. the dense free-space pass (per-cell covering-beam test with angular-
+   multiplicity mass, grid.py:integrate_scan) — the per-cell range lookup
+   becomes a B-step select accumulate against SMEM scalars (no dynamic
+   lane indexing on TPU);
+2. the endpoint log-odds updates as ONE one-hot outer-product matmul on
+   the MXU (E[r,c] = Σ_b val_b·1[eiy_b=r]·1[eix_b=c] — duplicate
+   endpoints stay additive, exactly like the reference's per-beam
+   marking);
+3. the exact two-phase Euclidean distance transform as shifted-min sweeps
+   (vertical |dy| pass, then horizontal dx² lower envelope) using
+   lane/sublane rolls — replacing the reference's priority-queue FMM and
+   the XLA (H, W, W) broadcast-min.
+
+Outputs (new_log_odds, dist_field) match the XLA pair
+(integrate_scan → esdf) to float tolerance; the XLA path remains the
+portable/CPU reference (pf_slam_step selects by backend).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .trig import atan2, positive_mod, round_half_up
+
+
+def _map_kernel(cfg, h: int, w: int, b: int,
+                grid_ref, pose_ref, eiy_ref, eixt_ref, val_ref, rm_ref,
+                gout_ref, dout_ref):
+    f32 = jnp.float32
+    res = float(cfg.resolution)
+    delta = float(cfg.beam_delta)
+    two_pi = 2.0 * jnp.pi
+    b_full = int(round(two_pi / delta))
+    d_free = float(cfg.l_free - cfg.l_prior)
+    d_occ = float(cfg.l_occ - cfg.l_prior)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    # ── Dense per-cell pass: covering beam + range to cell center
+    # (grid.py:integrate_scan dense-gather formulation). ──
+    th = pose_ref[0, 0, 0]
+    px = pose_ref[0, 0, 1]
+    py = pose_ref[0, 0, 2]
+    dx = (cfg.xmin + res * 0.5 - px) + res * col.astype(f32)
+    dy = (cfg.ymin + res * 0.5 - py) + res * row.astype(f32)
+    r_c = jnp.sqrt(dx * dx + dy * dy)
+    alpha = positive_mod(atan2(dy, dx) - th - float(cfg.beam_min), two_pi)
+    bfull_idx = round_half_up(alpha * (1.0 / delta)).astype(jnp.int32) \
+        % b_full
+    in_fov = bfull_idx < b
+    bi = jnp.minimum(bfull_idx, b - 1)
+
+    # ── Per-cell range of the covering beam: B-step select accumulate
+    # against SMEM scalars (a gather from a 360-entry table, unrolled the
+    # VPU way — no dynamic lane indexing on TPU). ──
+    def beam_body(j, rb):
+        return jnp.where(bi == j, rm_ref[0, 0, j], rb)
+
+    rb = jax.lax.fori_loop(0, b, beam_body, jnp.full((h, w), -1.0, f32))
+
+    # ── Endpoint image on the MXU: E[r, c] = Σ_b val_b·1[eiy_b=r]·
+    # 1[eix_b=c] counts how many valid beams END in each cell — one
+    # one-hot outer-product matmul replaces the reference's per-beam
+    # scatter (grid_mapper.cpp:161-177) and keeps duplicate endpoints
+    # additive. ──
+    iota_hb = jax.lax.broadcasted_iota(jnp.int32, (h, b), 0)
+    ro = (iota_hb == eiy_ref[0]).astype(f32) * val_ref[0]       # (H, B)
+    iota_bw = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    co = (iota_bw == eixt_ref[0]).astype(f32)                   # (B, W)
+    e_img = jax.lax.dot_general(ro, co, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)     # (H, W)
+    em = (e_img > 0.5).astype(f32)
+
+    # 3×3 dilation of the endpoint mask (zero-fill at map edges): a hit
+    # cell — under ANY beam — is never marked free (advisor r2 fix: the
+    # reference's Bresenham never marks a hit cell free either).
+    emd = em
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            sh = pltpu.roll(pltpu.roll(em, dr % h, 0), dc % w, 1)
+            rok = (row >= 1) if dr == 1 else (row < h - 1) if dr == -1 \
+                else (row >= 0)
+            cok = (col >= 1) if dc == 1 else (col < w - 1) if dc == -1 \
+                else (col >= 0)
+            emd = jnp.maximum(emd, jnp.where(rok & cok, sh, 0.0))
+
+    free = in_fov & (r_c < rb - res) & (emd < 0.5)
+    m = jnp.minimum(res / (jnp.maximum(r_c, 0.5 * res) * delta), float(b))
+    gnew = grid_ref[0] + jnp.where(free, m * d_free, 0.0) + d_occ * e_img
+    gout_ref[0] = gnew
+
+    # ── Exact two-phase EDT (ops/distance_transform.py semantics). ──
+    occ = gnew >= float(cfg.l_occ)
+    big = jnp.asarray(h + w + 2.0, f32)
+    init = jnp.where(occ, 0.0, big)
+
+    def vpass(s, carry):
+        g, down, up = carry
+        sf = s.astype(f32)
+        down = pltpu.roll(down, 1, 0)
+        up = pltpu.roll(up, h - 1, 0)
+        g = jnp.minimum(g, jnp.where(row >= s, down + sf, big))
+        g = jnp.minimum(g, jnp.where(row < h - s, up + sf, big))
+        return g, down, up
+
+    g, _, _ = jax.lax.fori_loop(1, h, vpass, (init, init, init))
+    g2 = g * g
+
+    def hpass(s, carry):
+        d2, left, right = carry
+        s2 = (s * s).astype(f32)
+        left = pltpu.roll(left, 1, 1)
+        right = pltpu.roll(right, w - 1, 1)
+        big2 = big * big
+        d2 = jnp.minimum(d2, jnp.where(col >= s, left + s2, big2))
+        d2 = jnp.minimum(d2, jnp.where(col < w - s, right + s2, big2))
+        return d2, left, right
+
+    d2, _, _ = jax.lax.fori_loop(1, w, hpass, (g2, g2, g2))
+    d = jnp.minimum(jnp.sqrt(d2) * res, float(cfg.max_occ_dist))
+    # Empty map → max_occ_dist everywhere (grid.py:esdf early-out).
+    dout_ref[0] = jnp.where(jnp.any(occ), d, float(cfg.max_occ_dist))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def map_update_batch(cfg, grids, ranges, poses, *, interpret: bool = False):
+    """Integrate one scan into every particle's map and rebuild its
+    distance field: (P, H, W) grids + (B,) ranges + (P, 3) poses →
+    (new_grids, dist_fields). Fused-kernel equivalent of
+    ``vmap(integrate_scan)`` + ``vmap(esdf)``."""
+    p, h, w = grids.shape
+    bn = cfg.num_beams
+    f32 = jnp.float32
+    two_pi = 2.0 * jnp.pi
+    b_full_f = two_pi / cfg.beam_delta
+    if abs(b_full_f - round(b_full_f)) > 1e-6:
+        raise ValueError(
+            f"beam_delta={cfg.beam_delta} must divide 2*pi evenly "
+            f"(got {b_full_f} beams/revolution)")
+
+    # Per-particle beam endpoints (grid.py:scan_end_points math).
+    beam = cfg.beam_min + cfg.beam_delta * jnp.arange(bn, dtype=f32)
+    cb, sb = jnp.cos(beam), jnp.sin(beam)
+    valid = jnp.logical_and(ranges >= cfg.range_min, ranges < cfg.range_max)
+    r = jnp.where(valid, ranges, cfg.range_min).astype(f32)
+    th = poses[:, 0:1].astype(f32)
+    c0, s0 = jnp.cos(th), jnp.sin(th)
+    ex = poses[:, 1:2].astype(f32) + r * (c0 * cb - s0 * sb)   # (P, B)
+    ey = poses[:, 2:3].astype(f32) + r * (s0 * cb + c0 * sb)
+    inv_res = 1.0 / cfg.resolution
+    eix = jnp.clip(jnp.floor((ex - cfg.xmin) * inv_res), 0, w - 1
+                   ).astype(jnp.int32)
+    eiy = jnp.clip(jnp.floor((ey - cfg.ymin) * inv_res), 0, h - 1
+                   ).astype(jnp.int32)
+    rm = jnp.where(valid, ranges, -1.0).astype(f32).reshape(1, 1, bn)
+    valf = valid.astype(f32).reshape(1, 1, bn)
+
+    kern = functools.partial(_map_kernel, cfg, h, w, bn)
+    gout, dout = pl.pallas_call(
+        kern,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # grid
+            pl.BlockSpec((1, 1, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),            # pose
+            pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # eiy (lanes)
+            pl.BlockSpec((1, bn, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),            # eix (sublanes)
+            pl.BlockSpec((1, 1, bn), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),            # valid
+            pl.BlockSpec((1, 1, bn), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),            # r_beam vals
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((p, h, w), f32),
+            jax.ShapeDtypeStruct((p, h, w), f32),
+        ),
+        interpret=interpret,
+    )(grids.astype(f32), poses.astype(f32).reshape(p, 1, 3),
+      eiy.reshape(p, 1, bn), eix.reshape(p, bn, 1), valf, rm)
+    return gout, dout

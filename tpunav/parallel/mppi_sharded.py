@@ -66,8 +66,8 @@ def _sharded_body(cfg: MPPIConfig, model: CartParams, axis: str,
 
 
 def _fused_sharded_body(cfg: MPPIConfig, model: CartParams, axis: str,
-                        nshards: int, obstacles, obs_cfg,
-                        u, seed, pose_xyt, xd):
+                        nshards: int, obstacles, obs_cfg, interpret,
+                        u, seed, pose_xyt, xd, noise=None):
     """Per-shard fused-Pallas solve + exact cross-shard softmax combine.
 
     The kernel emits per-shard partials with the LOCAL min m_l
@@ -85,7 +85,8 @@ def _fused_sharded_body(cfg: MPPIConfig, model: CartParams, axis: str,
     # 1-device mesh reproduces the unsharded kernel stream exactly.
     seed_local = seed + idx * jnp.int32(-0x61C88647)  # golden-ratio stride
     part = mppi_solve_partials(cfg_local, model, u, seed_local, pose_xyt,
-                               xd, obstacles=obstacles, obs_cfg=obs_cfg)
+                               xd, noise=noise, obstacles=obstacles,
+                               obs_cfg=obs_cfg, interpret=interpret)
     m_l = part[:, 0]
     m_g = jax.lax.pmin(m_l, axis)                           # (N,)
     s = jnp.exp((m_g - m_l) * (1.0 / cfg.lambda_))
@@ -103,21 +104,34 @@ def _fused_sharded_body(cfg: MPPIConfig, model: CartParams, axis: str,
 
 
 def mppi_solve_fused_sharded(cfg: MPPIConfig, model: CartParams, mesh: Mesh,
-                             axis: str = "k", obstacles=None, obs_cfg=None):
+                             axis: str = "k", obstacles=None, obs_cfg=None,
+                             with_noise: bool = False,
+                             interpret: bool = False):
     """Build a jitted K-sharded solve running the FUSED Pallas kernel per
     shard: (u, seed, pose_xyt, xd) → (cmd, u_next). ``seed`` is an int32
-    scalar (the kernel's on-core PRNG seed), folded per shard. TPU-only —
-    the in-kernel PRNG does not lower on CPU meshes (use
-    :func:`mppi_solve_sharded` there)."""
-    if cfg.rollouts % mesh.devices.size != 0:
+    scalar (the kernel's on-core PRNG seed), folded per shard.
+
+    The in-kernel PRNG does not lower on CPU meshes; for CPU-mesh testing
+    pass ``with_noise=True`` + ``interpret=True`` — the returned fn then
+    takes a fifth argument ``noise`` of shape (N, K/128, 128, 2) whose
+    rollout-tile axis is sharded over ``axis``, and the kernel replays it
+    instead of its PRNG (exactly the single-chip external-noise path).
+    """
+    # Shard count = the NAMED axis size, not the whole mesh (advisor r2
+    # fix: on a multi-axis mesh devices.size over-splits K).
+    nshards = int(mesh.shape[axis])
+    if cfg.rollouts % nshards != 0:
         raise ValueError(
-            f"rollouts={cfg.rollouts} not divisible by mesh size "
-            f"{mesh.devices.size}")
+            f"rollouts={cfg.rollouts} not divisible by axis '{axis}' "
+            f"size {nshards}")
     body = partial(_fused_sharded_body, cfg, model, axis,
-                   int(mesh.devices.size), obstacles, obs_cfg)
+                   nshards, obstacles, obs_cfg, interpret)
+    in_specs = (P(), P(), P(), P())
+    if with_noise:
+        in_specs = in_specs + (P(None, axis),)   # shard the S tile axis
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )

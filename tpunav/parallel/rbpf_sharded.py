@@ -39,10 +39,13 @@ from ..estimation.rbpf.grid import esdf, integrate_scan
 from ..estimation.rbpf.particle_filter import (
     PFConfig,
     PFState,
-    _fallback_update,
+    _draw_samples,
+    _gaussian_from_samples,
     _icp_init_guess,
-    _proposal_update,
+    _sample_motion_model,
 )
+from ..ops.pallas_likelihood import likelihood_field_batch
+from ..ops.pallas_map_update import map_update_batch
 
 
 def state_sharding(mesh: Mesh, axis_name: str = "p"):
@@ -54,8 +57,8 @@ def state_sharding(mesh: Mesh, axis_name: str = "p"):
                    key=rep)
 
 
-def _sharded_step(cfg: PFConfig, axis: str, st: PFState, ranges, u,
-                  cur_odom, prev_odom) -> PFState:
+def _sharded_step(cfg: PFConfig, axis: str, backend: str, st: PFState,
+                  ranges, u, cur_odom, prev_odom) -> PFState:
     """Per-shard body; runs under shard_map with P split over ``axis``."""
     p_total = cfg.num_particles
     nshards = jax.lax.axis_size(axis)
@@ -82,19 +85,27 @@ def _sharded_step(cfg: PFConfig, axis: str, st: PFState, ranges, u,
     icp = icp_match(cfg.icp, src, src_ok, dst, dst_ok, T_init)
     matcher_ok = jnp.logical_and(icp.converged, st.has_prev)
 
-    # ── Per-particle proposal on LOCAL particles ──
+    # ── Per-particle proposal on LOCAL particles (same staging as
+    # pf_slam_step: batched likelihood kernel + vmapped Gaussian fit) ──
     def success_branch(_):
+        samples, k2s = jax.vmap(
+            lambda pose, k: _draw_samples(cfg, pose, icp.transform, k)
+        )(st.poses, pkeys)
+        logp_scan = likelihood_field_batch(
+            cfg.grid, st.dists, ranges, samples, backend=backend)
         return jax.vmap(
-            lambda pose, dist, k: _proposal_update(
-                cfg, ranges, icp.transform, cur_odom, prev_odom, pose,
-                dist, k)
-        )(st.poses, st.dists, pkeys)
+            lambda s, lp, pose, k2: _gaussian_from_samples(
+                cfg, s, lp, pose, cur_odom, prev_odom, k2)
+        )(samples, logp_scan, st.poses, k2s)
 
     def fail_branch(_):
-        return jax.vmap(
-            lambda pose, dist, k: _fallback_update(
-                cfg, ranges, u, pose, dist, k)
-        )(st.poses, st.dists, pkeys)
+        new_poses = jax.vmap(
+            lambda pose, k: _sample_motion_model(cfg, pose, u, k)
+        )(st.poses, pkeys)
+        logw = likelihood_field_batch(
+            cfg.grid, st.dists, ranges, new_poses[:, None, :],
+            backend=backend)[:, 0]
+        return new_poses, logw
 
     new_poses, dlogw = jax.lax.cond(matcher_ok, success_branch,
                                     fail_branch, None)
@@ -102,10 +113,17 @@ def _sharded_step(cfg: PFConfig, axis: str, st: PFState, ranges, u,
 
     # ── Local map integration + ESDF rebuild (the dominant cost: P/D
     # maps per chip) ──
-    grids = jax.vmap(
-        lambda g, pose: integrate_scan(cfg.grid, g, ranges, pose)
-    )(st.grids, new_poses)
-    dists = jax.vmap(lambda g: esdf(cfg.grid, g))(grids)
+    if backend.startswith("pallas"):
+        grids, dists = map_update_batch(
+            cfg.grid, st.grids, ranges, new_poses,
+            interpret=backend == "pallas-interpret")
+        grids = grids.astype(st.grids.dtype)
+        dists = dists.astype(st.dists.dtype)
+    else:
+        grids = jax.vmap(
+            lambda g, pose: integrate_scan(cfg.grid, g, ranges, pose)
+        )(st.grids, new_poses)
+        dists = jax.vmap(lambda g: esdf(cfg.grid, g))(grids)
 
     # ── Global log-normalization + N_eff via collectives ──
     m = jax.lax.pmax(jnp.max(log_weights), axis)
@@ -145,14 +163,18 @@ def _sharded_step(cfg: PFConfig, axis: str, st: PFState, ranges, u,
                    key=key[None])
 
 
-def pf_slam_step_sharded(cfg: PFConfig, mesh: Mesh, axis_name: str = "p"):
+def pf_slam_step_sharded(cfg: PFConfig, mesh: Mesh, axis_name: str = "p",
+                         backend: str | None = None):
     """Build the jitted sharded SLAM step.
 
     Returns ``step(state, ranges, u, cur_odom, prev_odom) -> state`` where
     the state's particle-axis leaves are sharded over ``mesh``'s
     ``axis_name``. ``state.key`` must have a leading length-1 axis (it is
-    replicated; shard_map passes it through whole).
+    replicated; shard_map passes it through whole). ``backend`` selects
+    the hot-stage implementation per shard (see pf_slam_step).
     """
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     nshards = mesh.shape[axis_name]
     if cfg.num_particles % nshards != 0:
         raise ValueError(
@@ -164,7 +186,7 @@ def pf_slam_step_sharded(cfg: PFConfig, mesh: Mesh, axis_name: str = "p"):
     state_spec = PFState(poses=part, prev_poses=part, log_weights=part,
                          grids=part, dists=part, prev_scan=rep,
                          has_prev=rep, key=rep)
-    body = functools.partial(_sharded_step, cfg, axis_name)
+    body = functools.partial(_sharded_step, cfg, axis_name, backend)
     mapped = jax.shard_map(
         body, mesh=mesh,
         in_specs=(state_spec, rep, rep, rep, rep),
