@@ -70,7 +70,11 @@ def build(num_particles=500, scans_per_chunk=20):
                       grid=grid, icp=ICPConfig(max_iter=25))
     mppi_cfg = MPPIConfig(horizon=0.5, dt=0.01, rollouts=2048)
     segs = box_segments(-1.8, -1.8, 1.8, 1.8, jnp.float32)
-    wheel_bias = jnp.asarray([1.015, 0.985], jnp.float32)  # odometry drift
+    # Reference-scale odometry corruption (the reference's run drifted to
+    # 19.5/−10.5 cm, 2.62° — bmapping/README.md:45): a common-mode wheel
+    # scale error (translation drift) plus a differential one (heading
+    # drift).
+    wheel_bias = jnp.asarray([1.065, 1.005], jnp.float32)
 
     @jax.jit
     def control_chunk(true_pose, odom_pose, u, wpt_idx, tick):
@@ -123,15 +127,36 @@ def build(num_particles=500, scans_per_chunk=20):
     def incr(tick):
         return tick + 1
 
-    def run_chunk(pf, true_pose, odom_pose, u, wpt_idx, tick):
+    @jax.jit
+    def tick_metrics(pf, true_pose, odom_pose):
+        """Per-scan observability sample (the reference streams these to
+        rqt_plot as PoseError topics, tsim/launch/trect.launch:18-21):
+        SLAM/odometry error vs ground truth + effective particle count."""
+        pose, _ = best_particle(pf)
+        w = jnp.exp(pf.log_weights - jax.nn.logsumexp(pf.log_weights))
+        neff = 1.0 / jnp.sum(w * w)
+        return jnp.stack([
+            jnp.hypot(pose[1] - true_pose[1], pose[2] - true_pose[2]),
+            normalize_angle_pi(pose[0] - true_pose[0]),
+            jnp.hypot(odom_pose[1] - true_pose[1],
+                      odom_pose[2] - true_pose[2]),
+            normalize_angle_pi(odom_pose[0] - true_pose[0]),
+            neff,
+        ])
+
+    def run_chunk(pf, true_pose, odom_pose, u, wpt_idx, tick, series=None):
         for _ in range(scans_per_chunk):
             prev_odom = odom_pose
             true_pose, odom_pose, u, wpt_idx = control_chunk(
                 true_pose, odom_pose, u, wpt_idx, tick)
             scan = sense(true_pose, tick)
             pf = slam_update(pf, scan, odom_pose, prev_odom)
+            if series is not None:
+                # Device arrays collected lazily — fetched to host only
+                # when the caller plots, so dispatch stays async.
+                series.append(tick_metrics(pf, true_pose, odom_pose))
             tick = incr(tick)
-        return pf, true_pose, odom_pose, u, wpt_idx, tick, None
+        return pf, true_pose, odom_pose, u, wpt_idx, tick, series
 
     return pf_cfg, mppi_cfg, run_chunk
 
@@ -151,9 +176,11 @@ def run_experiment(num_particles=500, scans_per_chunk=20):
     jax.block_until_ready(run_chunk(pf, true_pose, odom_pose, u, wpt_idx,
                                     tick)[0].poses)
 
+    series = []
     t0 = time.time()
-    pf, true_pose, odom_pose, u, wpt_idx, tick, _ = run_chunk(
-        pf_init(pf_cfg, seed=3), true_pose, odom_pose, u, wpt_idx, tick)
+    pf, true_pose, odom_pose, u, wpt_idx, tick, series = run_chunk(
+        pf_init(pf_cfg, seed=3), true_pose, odom_pose, u, wpt_idx, tick,
+        series)
     jax.block_until_ready(pf.poses)
     half = time.time() - t0
 
@@ -168,8 +195,8 @@ def run_experiment(num_particles=500, scans_per_chunk=20):
           f"({os.path.getsize(ckpt) / 1e6:.1f} MB)")
 
     t1 = time.time()
-    pf, true_pose, odom_pose, u, wpt_idx, tick, _ = run_chunk(
-        pf, true_pose, odom_pose, u, wpt_idx, tick)
+    pf, true_pose, odom_pose, u, wpt_idx, tick, series = run_chunk(
+        pf, true_pose, odom_pose, u, wpt_idx, tick, series)
     pose, grid_best = best_particle(pf)
     jax.block_until_ready(pose)
     wall = half + (time.time() - t1)
@@ -180,6 +207,8 @@ def run_experiment(num_particles=500, scans_per_chunk=20):
     odo_err[0] = (odo_err[0] + np.pi) % (2 * np.pi) - np.pi
     occ = np.asarray(grid_best >= pf_cfg.grid.l_occ)
     n_scans = int(tick)
+    series_np = np.asarray(jax.device_get(jnp.stack(series)))
+    _plot_series(series_np)
     return {
         "slam_err": err, "odom_err": odo_err,
         "occupied_cells": int(occ.sum()), "n_scans": n_scans,
@@ -187,7 +216,37 @@ def run_experiment(num_particles=500, scans_per_chunk=20):
         "num_particles": pf_cfg.num_particles,
         "mppi_rollouts": mppi_cfg.rollouts,
         "mppi_solves": n_scans * TICKS_PER_SCAN,
+        "series": series_np,
     }
+
+
+def _plot_series(series, out="examples/out/rbpf_explore_timeseries.png"):
+    """Per-scan observability time series — the framework's rqt_plot
+    (ref: PoseError streaming, tsim/launch/trect.launch:18-21)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    t = np.arange(series.shape[0])
+    fig, axes = plt.subplots(3, 1, figsize=(7, 7), sharex=True)
+    axes[0].plot(t, series[:, 0] * 100, label="SLAM |xy| err")
+    axes[0].plot(t, series[:, 2] * 100, label="odometry |xy| err")
+    axes[0].set_ylabel("cm")
+    axes[0].legend(loc="upper left", fontsize=8)
+    axes[1].plot(t, np.degrees(series[:, 1]), label="SLAM yaw err")
+    axes[1].plot(t, np.degrees(series[:, 3]), label="odometry yaw err")
+    axes[1].set_ylabel("deg")
+    axes[1].legend(loc="upper left", fontsize=8)
+    axes[2].plot(t, series[:, 4], label="N_eff", color="tab:green")
+    axes[2].set_ylabel("N_eff")
+    axes[2].set_xlabel("scan")
+    axes[2].legend(loc="upper left", fontsize=8)
+    fig.suptitle("RBPF exploration: pose error + N_eff per scan")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    print(f"wrote {out}")
 
 
 def main():

@@ -4,6 +4,7 @@ Strebel data with literal expected values), clustering behavior, and
 full-pipeline detection on a simulated lidar scan of cylinders.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -142,3 +143,76 @@ def test_classify_circles():
         lmk.classify_circles(cfg, pts, ids, valid, circles))
     assert bool(is_circle[0])
     assert not bool(is_circle[1])
+
+
+# -------------------------------------------- wall rejection -------------
+
+def test_classify_circles_gates():
+    """Inscribed-angle gates (ref: classifyCircles landmarks.cpp:448-509):
+    points on a circular arc pass (mean within [90°, 135°], tight std);
+    collinear wall points fail (mean → 180°)."""
+    import dataclasses
+    from tpunav.estimation.landmarks import (
+        LandmarkConfig, Circles, classify_circles)
+
+    cfg = dataclasses.replace(LandmarkConfig(), max_clusters=4)
+    n = 24
+    # Cluster 0: minor arc of a circle (viewed from outside).
+    t = jnp.linspace(0.6, 2.5, 12)
+    arc = jnp.stack([0.5 + 0.2 * jnp.cos(t), 0.3 + 0.2 * jnp.sin(t)], -1)
+    # Cluster 1: straight wall.
+    s = jnp.linspace(0.0, 0.5, 12)[:, None]
+    line = jnp.concatenate([1.0 + s, 0.2 + 0.4 * s], axis=-1)
+    pts = jnp.concatenate([arc, line])
+    ids = jnp.concatenate([jnp.zeros(12, jnp.int32),
+                           jnp.ones(12, jnp.int32)])
+    valid = jnp.ones(n, bool)
+    circ = Circles(centers=jnp.zeros((4, 2)), radii=jnp.zeros(4),
+                   valid=jnp.asarray([True, True, False, False]))
+    keep = classify_circles(cfg, pts, ids, valid, circ)
+    assert bool(keep[0]), "circular arc should classify as circle"
+    assert not bool(keep[1]), "collinear wall should be rejected"
+
+
+def test_wall_rejection_closed_loop():
+    """A standalone L-corner (furniture edge) fits a circle under the
+    radius threshold and becomes a phantom landmark with the reference's
+    radius-filter-only detection; use_classify rejects it while keeping
+    the true cylinder (VERDICT r2 item 6; ref gates
+    landmarks.cpp:448-509)."""
+    import dataclasses
+    from tpunav.estimation.landmarks import LandmarkConfig, feature_detection
+    from tpunav.sim.lidar import scan_cylinders, scan_segments
+
+    base = dataclasses.replace(LandmarkConfig(), radius_thresh=0.3)
+    arms = 0.2
+    segs = jnp.asarray([[0.8, 0.0, 0.8 + arms, arms],
+                        [0.8, 0.0, 0.8 + arms, -arms]], jnp.float64)
+    cyl_c = jnp.asarray([[0.0, 0.6]], jnp.float64)
+    cyl_r = jnp.asarray([0.15], jnp.float64)
+    pose = jnp.asarray([0.2, 0.0, 0.0], jnp.float64)
+    r1 = scan_cylinders(pose, cyl_c, cyl_r, key=jax.random.PRNGKey(4),
+                        noise_std=0.002)
+    r2 = scan_segments(pose, segs, key=jax.random.PRNGKey(5),
+                       noise_std=0.002)
+    ranges = jnp.minimum(r1, r2)
+
+    th = float(pose[0])
+    R = np.asarray([[np.cos(-th), -np.sin(-th)], [np.sin(-th), np.cos(-th)]])
+    truth = (R @ np.asarray(cyl_c).T).T       # robot at origin
+
+    def classify_counts(use_classify):
+        cfg = dataclasses.replace(base, use_classify=use_classify)
+        c = feature_detection(cfg, ranges)
+        cn, vv = np.asarray(c.centers), np.asarray(c.valid)
+        d = np.linalg.norm(cn[vv][:, None, :] - truth[None], axis=-1)
+        true_hits = int((d.min(axis=-1) < 0.15).sum())
+        phantoms = int((d.min(axis=-1) >= 0.15).sum())
+        return true_hits, phantoms
+
+    hits_radius, phantoms_radius = classify_counts(False)
+    hits_cls, phantoms_cls = classify_counts(True)
+    assert hits_radius >= 1 and phantoms_radius >= 1, (
+        hits_radius, phantoms_radius)
+    assert hits_cls >= 1, "classification must keep the true cylinder"
+    assert phantoms_cls == 0, "classification must reject the corner"

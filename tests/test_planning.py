@@ -152,3 +152,39 @@ def test_potential_field_converges():
     for q in path:
         q = np.asarray(q)
         assert not (1.55 < q[0] < 2.45 and 1.55 < q[1] < 2.45), q
+
+
+def test_dstar_online_observe_reroutes():
+    """Live-map D* Lite (the full-stack loop's planner): an all-free
+    belief plans straight; observing a barrier from a 'SLAM map' forces an
+    incremental replan through the gap; advance() reaches the goal."""
+    import numpy as np
+    from tpunav.planning.dstar import dstar_from_labels
+    from tpunav.planning.grid_map import FREE, OBSTACLE
+
+    h = w = 30
+    start, goal = (15, 2), (15, 27)
+    planner = dstar_from_labels(np.full((h, w), FREE, np.int8), start, goal)
+    planner.compute_shortest_path()
+    p0 = planner.path_to_goal()
+    assert tuple(p0[-1]) == goal
+    assert len(p0) <= 27                       # straight-ish line
+
+    # SLAM discovers a wall across column 14 with a gap at rows 3..5.
+    labels = np.full((h, w), FREE, np.int8)
+    labels[:, 14] = OBSTACLE
+    labels[3:6, 14] = FREE
+    planner.observe(labels)
+    p1 = planner.path_to_goal()
+    assert tuple(p1[-1]) == goal
+    rows_at_wall = [iy for iy, ix in p1 if ix == 14]
+    assert rows_at_wall and all(3 <= r <= 5 for r in rows_at_wall), (
+        "replanned path must cross through the gap")
+
+    # Execute with the live belief; the walk must reach the goal.
+    for _ in range(500):
+        nxt = planner.advance()
+        assert nxt is not None, "goal unreachable after observe"
+        if planner.pos == goal:
+            break
+    assert planner.pos == goal

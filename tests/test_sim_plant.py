@@ -141,3 +141,33 @@ def test_turtle_way_pentagon():
     s = tw.metrics.summary()
     # Model and plant integrate identical commands → tiny drift.
     assert s["x_error"]["p99"] < 0.05 and s["y_error"]["p99"] < 0.05
+
+
+def test_plant_motor_dynamics_ramp():
+    """With motor dynamics enabled the plant's wheel speed ramps instead
+    of stepping; the vehicle still converges to the commanded speed."""
+    from tpunav.runtime.nodes import TurtleInterfaceNode
+    from tpunav.sim.motor import MotorParams
+
+    cmd_vel, wheel_cmd, sensor, joints, odom = (
+        Channel("cmd"), Channel("wheel"), Channel("sensor"),
+        Channel("joints"), Channel("odom"))
+    iface = TurtleInterfaceNode(dd.TURTLEBOT3, cmd_vel, wheel_cmd, sensor,
+                                joints)
+    plant = DiffDrivePlant(dd.TURTLEBOT3, wheel_cmd, sensor,
+                           motor=MotorParams(time_const=0.1))
+    odometer = OdometerNode(dd.TURTLEBOT3, joints, odom)
+    s = Scheduler()
+    s.add(Node("iface", 200.0, iface.tick))
+    s.add(Node("plant", 200.0, plant.tick))
+    s.add(Node("odometer", 200.0, odometer.tick))
+
+    cmd_vel.publish([0.0, 0.1, 0.0])
+    s.run(0.05)                       # ~half a time constant in
+    v_early = plant._wl
+    s.run(1.0)                        # settled
+    v_late = plant._wl
+    assert 0.0 < v_early < 0.8 * v_late   # ramping, not stepping
+    # Settled wheel speed matches the ideal plant's (integer-quantized)
+    # to the exponential-tail tolerance (~e^{-10} of the step remains).
+    assert abs(v_late - plant._ul) < 1e-3

@@ -68,3 +68,39 @@ def test_done_freezes_pose():
     np.testing.assert_allclose(np.asarray(out2.pose),
                                np.asarray(out.pose), atol=0)
     assert bool(out2.done)
+
+
+def test_course_with_motor_dynamics_completes():
+    """Torque-capped first-order motor lag between command and plant
+    (ref: turtle_drive_plugin.cpp:226-232 velocity targets under
+    max_motor_torque): the course must still close all waypoints."""
+    from tpunav.sim.motor import MotorParams
+
+    course = CourseConfig(goal_thresh=0.1, max_ticks=8000,
+                          motor=MotorParams(time_const=0.05))
+    st = course_init(CFG, jnp.zeros(3), seed=0)
+    out = jax.jit(lambda st: run_course(CFG, course, MODEL,
+                                        jnp.asarray(COURSE), st))(st)
+    assert bool(out.done), f"course incomplete after {int(out.ticks)} ticks"
+    assert int(out.visits) == len(COURSE)
+
+
+def test_motor_track_ramps_and_caps():
+    from tpunav.sim.motor import MotorParams, track
+
+    p = MotorParams(time_const=0.1, max_torque=1.5, eff_inertia=2.4e-3)
+    v = jnp.zeros(2)
+    cmd = jnp.asarray([5.0, -5.0])
+    dt = 1.0 / 200.0
+    v1 = track(p, v, cmd, dt)
+    # First-order step response, within the accel cap.
+    expected = (1.0 - np.exp(-dt / p.time_const)) * 5.0
+    assert abs(float(v1[0]) - min(expected, p.max_accel * dt)) < 1e-6
+    assert float(v1[1]) == -float(v1[0])
+    # Converges to the command.
+    for _ in range(400):
+        v = track(p, v, cmd, dt)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(cmd), atol=1e-2)
+    # tau=0 is exact pass-through (legacy plant).
+    assert np.all(np.asarray(track(MotorParams(), v, cmd, dt)) ==
+                  np.asarray(cmd))

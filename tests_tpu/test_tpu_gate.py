@@ -1,0 +1,214 @@
+"""Hardware parity gate: compiled kernels vs the portable XLA
+formulations, on the real chip.
+
+Covers (VERDICT r2 item 4): fused MPPI kernel (external-noise exact +
+real-PRNG distributional), the RBPF likelihood + map-update kernels, a
+1-device-mesh fused-sharded vs unsharded check (VERDICT item 3c), and
+one EKF step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpunav.control import mppi as m
+from tpunav.models.cart import CartParams
+
+MODEL = CartParams(0.033, 0.160)
+
+
+def _cfg(k=1024, horizon=0.5):
+    return m.MPPIConfig(rollouts=k, horizon=horizon, dt=0.01)
+
+
+# ---------------------------------------------- fused MPPI kernel -------
+
+def test_fused_kernel_external_noise_matches_xla_exactly():
+    """Compiled-kernel parity (not interpret): identical noise through the
+    fused kernel and the XLA solver must give the same controls."""
+    from tpunav.ops.pallas_mppi import mppi_solve_fused
+
+    cfg = _cfg()
+    sub = cfg.rollouts // 128
+    u = m.init_controls(cfg)
+    pose = jnp.array([0.1, -0.2, 0.3], jnp.float32)
+    xd = jnp.array([1.0, 1.0, 0.0], jnp.float32)
+    sig = jnp.sqrt(jnp.asarray([cfg.ul_var, cfg.ur_var], jnp.float32))
+    noise = jax.random.normal(
+        jax.random.PRNGKey(5), (cfg.steps, sub, 128, 2), jnp.float32) * sig
+
+    cmd_k, u_next_k = mppi_solve_fused(cfg, MODEL, u, 0, pose, xd,
+                                       noise=noise)
+
+    # XLA reference fed the identical noise, reshaped to (K, N, 2).
+    noise_xla = noise.transpose(1, 2, 0, 3).reshape(cfg.rollouts,
+                                                    cfg.steps, 2)
+    loss, _ = m.rollout_losses(cfg, MODEL, pose, u[None] + noise_xla, xd)
+    j = m.cost_to_go(loss)
+    u_new = m.update_controls(cfg, u, noise_xla, j)
+    np.testing.assert_allclose(np.asarray(u_next_k[:-1]),
+                               np.asarray(m.shift_controls(cfg, u_new)[:-1]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cmd_k), np.asarray(u_new[0]),
+                               atol=2e-4)
+
+
+def test_fused_kernel_real_prng_distributional():
+    """In-kernel PRNG path vs the XLA solver on DIFFERENT RNG streams.
+
+    At the reference λ=0.01 the softmax effectively selects near-argmin
+    rollouts (an extreme-value statistic — it does NOT concentrate with
+    K), so the comparison runs at λ=1.0 where the importance-weighted
+    update is a smooth mean with a large effective sample size and
+    concentrates ~1/sqrt(ESS). The λ=0.01 math itself is pinned exactly
+    by the external-noise parity test above."""
+    import dataclasses
+    from tpunav.ops.pallas_mppi import mppi_solve_fused
+
+    cfg = dataclasses.replace(_cfg(k=49_152), lambda_=1.0)
+    u = m.init_controls(cfg)
+    pose = jnp.zeros(3, jnp.float32)
+    xd = jnp.array([0.6, 0.4, 0.0], jnp.float32)
+
+    cmd_k, u_next_k = mppi_solve_fused(cfg, MODEL, u, 7, pose, xd)
+    cmd_x, u_next_x = m.mppi_solve(cfg, MODEL, u, jax.random.PRNGKey(3),
+                                   pose, xd)
+    assert np.all(np.isfinite(np.asarray(u_next_k)))
+    np.testing.assert_allclose(np.asarray(cmd_k), np.asarray(cmd_x),
+                               atol=0.15)
+    np.testing.assert_allclose(np.asarray(u_next_k), np.asarray(u_next_x),
+                               atol=0.15)
+
+
+def test_fused_sharded_one_device_mesh_matches_unsharded():
+    """VERDICT r2 item 3c: a 1-device-mesh fused-sharded solve with the
+    REAL in-kernel PRNG reproduces the unsharded kernel exactly (shard 0
+    keeps the caller's seed)."""
+    from jax.sharding import Mesh
+    from tpunav.ops.pallas_mppi import mppi_solve_fused
+    from tpunav.parallel.mppi_sharded import mppi_solve_fused_sharded
+
+    cfg = _cfg(k=2048)
+    u = m.init_controls(cfg)
+    pose = jnp.array([0.0, 0.0, 0.2], jnp.float32)
+    xd = jnp.array([0.5, 0.5, 0.0], jnp.float32)
+
+    cmd_1, u_next_1 = mppi_solve_fused(cfg, MODEL, u, 13, pose, xd)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("k",))
+    solve = mppi_solve_fused_sharded(cfg, MODEL, mesh)
+    cmd_s, u_next_s = solve(m.init_controls(cfg), jnp.int32(13), pose, xd)
+    np.testing.assert_allclose(np.asarray(cmd_s), np.asarray(cmd_1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_next_s), np.asarray(u_next_1),
+                               atol=1e-5)
+
+
+# ---------------------------------------------- RBPF kernels ------------
+
+@pytest.fixture(scope="module")
+def rbpf_world():
+    from tpunav.estimation.rbpf import GridConfig
+    from tpunav.sim.lidar import box_segments, scan_segments
+
+    cfg = GridConfig(resolution=0.1, num_beams=90,
+                     beam_delta=2 * jnp.pi / 90)
+    segs = box_segments(-1.5, -1.5, 1.5, 1.5, jnp.float32)
+    pose = jnp.array([0.1, 0.05, -0.02], jnp.float32)
+    scan = scan_segments(pose, segs, num_beams=cfg.num_beams,
+                         beam_delta=cfg.beam_delta, max_range=cfg.range_max,
+                         key=jax.random.PRNGKey(0), noise_std=0.01)
+    return cfg, pose, scan
+
+
+def test_map_update_kernel_compiled_matches_xla(rbpf_world):
+    from tpunav.estimation.rbpf.grid import esdf, grid_init, integrate_scan
+    from tpunav.ops.pallas_map_update import map_update_batch
+
+    cfg, pose, scan = rbpf_world
+    p = 8
+    poses = pose[None] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(1), (p, 3), jnp.float32)
+    grids = jnp.broadcast_to(grid_init(cfg),
+                             (p, cfg.height, cfg.width)).copy()
+    grids = jax.vmap(lambda g, q: integrate_scan(cfg, g, scan, q)
+                     )(grids, poses)
+
+    g_k, d_k = map_update_batch(cfg, grids, scan, poses)
+    g_x = jax.vmap(lambda g, q: integrate_scan(cfg, g, scan, q)
+                   )(grids, poses)
+    d_x = jax.vmap(lambda g: esdf(cfg, g))(g_x)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_x), atol=1e-4)
+
+
+def test_likelihood_kernel_compiled_matches_xla(rbpf_world):
+    from tpunav.estimation.rbpf.grid import esdf, grid_init, integrate_scan
+    from tpunav.ops.pallas_likelihood import _lik_pallas, _lik_xla
+
+    cfg, pose, scan = rbpf_world
+    p, k = 8, 12
+    poses = pose[None] + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(2), (p, 3), jnp.float32)
+    grids = jnp.broadcast_to(grid_init(cfg),
+                             (p, cfg.height, cfg.width)).copy()
+    grids = jax.vmap(lambda g, q: integrate_scan(cfg, g, scan, q)
+                     )(grids, poses)
+    dists = jax.vmap(lambda g: esdf(cfg, g))(grids)
+    samples = poses[:, None, :] + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(3), (p, k, 3), jnp.float32)
+
+    a = _lik_pallas(cfg, dists, scan, samples)
+    b = _lik_xla(cfg, dists, scan, samples)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=0.05, rtol=1e-4)
+
+
+def test_pf_step_compiled_backends_agree(rbpf_world):
+    from tpunav.estimation.rbpf import PFConfig, pf_init
+    from tpunav.estimation.rbpf.icp import ICPConfig
+    from tpunav.estimation.rbpf.particle_filter import pf_slam_step
+
+    cfg_g, pose, scan = rbpf_world
+    cfg = PFConfig(num_particles=8, k_samples=10,
+                   sample_range=(1e-6, 1e-5, 1e-5),
+                   motion_noise=(1e-6, 1e-5, 1e-5),
+                   grid=cfg_g, icp=ICPConfig(max_iter=15))
+    u = jnp.array([0.02, 0.01], jnp.float32)
+    st0 = pf_init(cfg, seed=3)
+    st0 = st0._replace(prev_scan=scan, has_prev=jnp.asarray(True))
+
+    a = jax.jit(lambda s: pf_slam_step(cfg, s, scan, u, pose,
+                                       jnp.zeros(3, jnp.float32),
+                                       backend="xla"))(st0)
+    b = jax.jit(lambda s: pf_slam_step(cfg, s, scan, u, pose,
+                                       jnp.zeros(3, jnp.float32),
+                                       backend="pallas"))(st0)
+    np.testing.assert_allclose(np.asarray(a.poses), np.asarray(b.poses),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.grids), np.asarray(b.grids),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.log_weights),
+                               np.asarray(b.log_weights), atol=0.05)
+
+
+# ---------------------------------------------- EKF ---------------------
+
+def test_ekf_step_runs_on_tpu():
+    """One known-DA EKF step in f32 on the chip: finite state, covariance
+    stays symmetric (Joseph form), landmark initialized where measured."""
+    from tpunav.estimation.ekf.filter import (EKFConfig, ekf_init,
+                                              known_correspondence_slam)
+
+    cfg = EKFConfig(num_landmarks=10)
+    st = ekf_init(cfg, dtype=jnp.float32)
+    meas = jnp.full((10, 2), jnp.nan, jnp.float32)      # robot-frame (x, y)
+    meas = meas.at[0].set(jnp.asarray([1.0, 0.3]))
+    meas = meas.at[1].set(jnp.asarray([-0.5, 0.7]))
+    u = jnp.asarray([0.05, 0.1], jnp.float32)           # [w, vx]
+    st = jax.jit(lambda s: known_correspondence_slam(cfg, s, meas, u))(st)
+    assert np.all(np.isfinite(np.asarray(st.state[:7])))
+    cov = np.asarray(st.cov)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-4)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..models.cart import CartParams, kinematic_cart
 from ..ops.pallas_mppi import mppi_solve_fused
 from ..ops.rk4 import rk4_step
+from ..sim.motor import MotorParams, track
 from .mppi import MPPIConfig, init_controls, mppi_solve
 
 
@@ -41,6 +42,10 @@ class CourseConfig:
     # whole course stays ONE device program with no key plumbing.
     use_fused: bool = False
     fused_seed: int = 0
+    # Plant motor dynamics (ref: the Gazebo plugin's torque-capped
+    # velocity targets, turtle_drive_plugin.cpp:226-232). Default τ=0 =
+    # ideal tracking, the pure-kinematic legacy plant.
+    motor: MotorParams = MotorParams()
 
 
 class CourseState(NamedTuple):
@@ -51,6 +56,7 @@ class CourseState(NamedTuple):
     visits: jnp.ndarray     # int32 — waypoints reached so far
     ticks: jnp.ndarray      # int32
     done: jnp.ndarray       # bool
+    wheel_vel: jnp.ndarray  # (2,) actual wheel velocities (motor state)
 
 
 def course_init(cfg: MPPIConfig, pose, seed: int = 0) -> CourseState:
@@ -60,7 +66,8 @@ def course_init(cfg: MPPIConfig, pose, seed: int = 0) -> CourseState:
         wpt_idx=jnp.asarray(0, jnp.int32),
         visits=jnp.asarray(0, jnp.int32),
         ticks=jnp.asarray(0, jnp.int32),
-        done=jnp.asarray(False))
+        done=jnp.asarray(False),
+        wheel_vel=jnp.zeros(2, jnp.float32))
 
 
 def course_tick(cfg: MPPIConfig, course: CourseConfig, model: CartParams,
@@ -107,12 +114,15 @@ def course_tick(cfg: MPPIConfig, course: CourseConfig, model: CartParams,
         cmd, u = mppi_solve(cfg, model, st.u, sub, st.pose, wpt, extra_cost)
     cmd = jnp.where(done, jnp.zeros_like(cmd), cmd)
 
+    # Motor dynamics between command and plant (τ=0 → wheel_vel == cmd).
+    wheel_vel = track(course.motor, st.wheel_vel, cmd, course.tick_dt)
     f = lambda x, uu: kinematic_cart(model, x, uu)
-    pose = rk4_step(f, st.pose, cmd, course.tick_dt)
+    pose = rk4_step(f, st.pose, wheel_vel, course.tick_dt)
     pose = jnp.where(done, st.pose, pose)
 
     return CourseState(pose=pose, u=u, key=key, wpt_idx=wpt_idx,
-                       visits=visits, ticks=st.ticks + 1, done=done)
+                       visits=visits, ticks=st.ticks + 1, done=done,
+                       wheel_vel=jnp.where(done, st.wheel_vel, wheel_vel))
 
 
 def run_course(cfg: MPPIConfig, course: CourseConfig, model: CartParams,

@@ -55,6 +55,12 @@ class LandmarkConfig:
     angle_std: float = 0.15         # (ref: classifyCircles gates)
     mu_min_deg: float = 90.0
     mu_max_deg: float = 135.0
+    # Inscribed-angle circle/wall classification in featureDetection.
+    # Default False = the reference's shipped behavior (radius filter
+    # only; classifyCircles exists but is bypassed, landmarks.cpp:
+    # 299-307). True additionally rejects wall/corner clusters whose
+    # algebraic fit sneaks under radius_thresh (phantom landmarks).
+    use_classify: bool = False
 
 
 class Circles(NamedTuple):
@@ -259,13 +265,42 @@ def classify_circles(cfg: LandmarkConfig, pts, ids, valid, circles: Circles):
                                                       n_inner >= 1))
 
 
+def _roll_to_cluster_boundary(cfg: LandmarkConfig, pts, valid):
+    """Rotate the beam axis so index 0 falls on a cluster boundary.
+
+    The reference reorders a wrap-around cluster's points contiguously
+    when merging (landmarks.cpp:416-432); our index-based
+    ``classify_circles`` endpoints assume the same, so rotate the scan to
+    the first cluster-opening gap before classifying (no-op when the
+    whole scan is one cluster)."""
+    def gap_step(prev, inp):
+        p, ok = inp
+        d = jnp.linalg.norm(p - prev)
+        new_cluster = jnp.logical_and(ok, d > cfg.epsilon)
+        prev = jnp.where(ok, p, prev)
+        return prev, new_cluster
+
+    first_idx = jnp.argmax(valid)
+    _, gaps = jax.lax.scan(gap_step, pts[first_idx], (pts, valid))
+    shift = jnp.where(jnp.any(gaps), jnp.argmax(gaps), 0)
+    return jnp.roll(pts, -shift, axis=0), jnp.roll(valid, -shift)
+
+
 def feature_detection(cfg: LandmarkConfig, ranges) -> Circles:
     """Full pipeline: scan → endpoints → clusters → circle fits → radius
-    filter (ref: Landmarks::featureDetection landmarks.cpp:259-310).
+    filter, plus the inscribed-angle circle/wall classification when
+    ``cfg.use_classify`` (ref: Landmarks::featureDetection
+    landmarks.cpp:259-310; classifyCircles :448-509).
     Fully jittable; returns ``max_clusters`` fixed-size slots."""
     pts, valid = laser_end_points(cfg.props, ranges)
+    if cfg.use_classify:
+        pts, valid = _roll_to_cluster_boundary(cfg, pts, valid)
     ids = cluster_scan(cfg, pts, valid)
-    return fit_circles(cfg, pts, ids, valid)
+    circles = fit_circles(cfg, pts, ids, valid)
+    if cfg.use_classify:
+        keep = classify_circles(cfg, pts, ids, valid, circles)
+        circles = circles._replace(valid=keep)
+    return circles
 
 
 def circles_to_measurements(circles: Circles):

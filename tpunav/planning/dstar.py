@@ -145,6 +145,64 @@ class DStarLite:
                 best, best_c = t, c
         return best
 
+    def _apply_changes(self, cells):
+        """Edge-cost bookkeeping for belief cells that changed: km offset
+        + rhs updates of the cells and their neighbors
+        (ref: pathTraversal's changed-cell loop dstar_light.cpp:118-141)."""
+        if not cells:
+            return
+        self.km += self._h(self.last)
+        self.last = self.pos
+        for c in cells:
+            self._update(c)
+            for t in self._neighbors(c):
+                self._update(t)
+
+    def observe(self, labels: np.ndarray):
+        """Online map update: replace the belief wherever ``labels``
+        disagrees (labels: full (H, W) planning labels, e.g. derived from
+        a SLAM occupancy grid) and replan incrementally. This is the
+        live-perception analog of the reference's simulated truth reveal
+        (simulateGridUpdate :307-364) — the map source is a real filter
+        instead of the built-in simulator."""
+        changed = np.argwhere(labels != self.belief)
+        cells = [tuple(map(int, c)) for c in changed]
+        self.belief[:] = labels
+        self._apply_changes(cells)
+        self.compute_shortest_path()
+
+    def advance(self):
+        """One execution step toward the goal on the current belief;
+        returns the new (iy, ix) or None when stuck/unreachable
+        (ref: minNeighbor move, dstar_light.cpp:97-145)."""
+        if self.pos == self.goal:
+            return self.pos
+        if not np.isfinite(self.g[self.pos]):
+            return None
+        nxt = self._min_neighbor()
+        if nxt is None:
+            return None
+        self.pos = nxt
+        self.visited.append(nxt)
+        return nxt
+
+    def path_to_goal(self, max_len: int = 10_000):
+        """Greedy min-cost descent from the current position to the goal
+        on the current belief (for lookahead waypoint extraction); returns
+        an (M, 2) int array starting at ``pos``."""
+        path = [self.pos]
+        saved_pos = self.pos
+        seen = {self.pos}
+        while self.pos != self.goal and len(path) < max_len:
+            nxt = self._min_neighbor()
+            if nxt is None or nxt in seen or not np.isfinite(self.g[nxt]):
+                break
+            self.pos = nxt
+            seen.add(nxt)
+            path.append(nxt)
+        self.pos = saved_pos
+        return np.asarray(path)
+
     def traverse(self, max_steps: int = 10_000) -> Optional[np.ndarray]:
         """Plan + execute with incremental replanning
         (ref: pathTraversal dstar_light.cpp:97-145). Returns the visited
@@ -154,20 +212,21 @@ class DStarLite:
         for _ in range(max_steps):
             if self.pos == self.goal:
                 return np.asarray(self.visited)
-            if not np.isfinite(self.g[self.pos]):
-                return None
-            nxt = self._min_neighbor()
+            nxt = self.advance()
             if nxt is None:
                 return None
-            self.pos = nxt
-            self.visited.append(nxt)
-            changed = self._reveal()
-            if changed:
-                self.km += self._h(self.last)
-                self.last = self.pos
-                for c in changed:
-                    self._update(c)
-                    for t in self._neighbors(c):
-                        self._update(t)
+            self._apply_changes(self._reveal())
             self.compute_shortest_path()
         return None
+
+
+def dstar_from_labels(labels: np.ndarray, start, goal, vis_radius: int = 3
+                      ) -> DStarLite:
+    """Construct a planner directly from a (H, W) label array (e.g. an
+    all-free prior for online SLAM-fed planning) without a PlanningGrid."""
+    class _G:
+        pass
+
+    g = _G()
+    g.labels = np.asarray(labels).copy()
+    return DStarLite(g, start, goal, vis_radius)

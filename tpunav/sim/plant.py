@@ -14,6 +14,7 @@ import numpy as np
 
 from ..core import diff_drive as dd
 from ..runtime.channels import Channel
+from .motor import MotorParams
 
 
 class DiffDrivePlant:
@@ -21,7 +22,8 @@ class DiffDrivePlant:
                  sensor: Channel, sensor_rate_hz: float = 200.0,
                  max_motor_rot_vel: float = dd.MAX_WHEEL_VEL,
                  max_motor_power: int = dd.MAX_MOTOR_POWER,
-                 ticks_per_rev: int = dd.ENCODER_TICKS_PER_REV):
+                 ticks_per_rev: int = dd.ENCODER_TICKS_PER_REV,
+                 motor: MotorParams | None = None):
         self.params = params
         self.wheel_cmd = wheel_cmd
         self.sensor = sensor
@@ -32,8 +34,14 @@ class DiffDrivePlant:
         self.right = 0.0
         self.pose = np.zeros(3)          # ground truth [theta, x, y]
         self._seen = 0
-        self._ul = 0.0
+        self._ul = 0.0                   # commanded wheel velocities
         self._ur = 0.0
+        # Motor dynamics (ref: the Gazebo engine ramps joints toward the
+        # velocity target under max_motor_torque,
+        # turtle_drive_plugin.cpp:226-232). None/τ=0 = ideal tracking.
+        self.motor = motor or MotorParams()
+        self._wl = 0.0                   # actual wheel velocities
+        self._wr = 0.0
 
     def tick(self, t: float) -> None:
         cmd, self._seen = self.wheel_cmd.take_new(self._seen)
@@ -41,8 +49,17 @@ class DiffDrivePlant:
             self._ul = float(cmd[0]) * self.vel_scale
             self._ur = float(cmd[1]) * self.vel_scale
 
-        dl = self._ul * self.dt
-        dr = self._ur * self.dt
+        if self.motor.time_const > 0.0:
+            import math
+            alpha = 1.0 - math.exp(-self.dt / self.motor.time_const)
+            lim = self.motor.max_accel * self.dt
+            self._wl += max(-lim, min(lim, alpha * (self._ul - self._wl)))
+            self._wr += max(-lim, min(lim, alpha * (self._ur - self._wr)))
+        else:
+            self._wl, self._wr = self._ul, self._ur
+
+        dl = self._wl * self.dt
+        dr = self._wr * self.dt
         self.left += dl
         self.right += dr
         # True pose: exact diff-drive integration of the wheel increment.
