@@ -85,7 +85,7 @@ def worker(args):
           flush=True)
 
 
-def launcher():
+def launcher(out_dir=None):
     import socket
     import tempfile
 
@@ -93,8 +93,11 @@ def launcher():
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     coord = f"localhost:{port}"
-    outs = [os.path.join(tempfile.gettempdir(),
-                         f"mppi_2proc_{i}.npz") for i in range(2)]
+    # Per-run output dir (advisor r2: a fixed tempdir path races with
+    # concurrent runs on one machine).
+    out_dir = out_dir or tempfile.mkdtemp(prefix="mppi_2proc_")
+    outs = [os.path.join(out_dir, f"mppi_2proc_{i}.npz")
+            for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "examples.mppi_two_process",
@@ -121,9 +124,11 @@ def main():
     ap.add_argument("--num-processes", type=int, default=2)
     ap.add_argument("--coordinator", type=str, default=None)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--out-dir", type=str, default=None,
+                    help="launcher mode: directory for worker outputs")
     args = ap.parse_args()
     if args.process_id is None:
-        launcher()
+        launcher(args.out_dir)
     else:
         worker(args)
 

@@ -34,10 +34,15 @@ from tpunav.ops.pallas_mppi import mppi_solve_fused
 from tpunav.ops.rk4 import rk4_step
 from tpunav.runtime.checkpoint import load_pytree, save_pytree
 from tpunav.sim.lidar import box_segments, scan_segments
+from tpunav.sim.motor import MotorParams, track
 
 MODEL = CartParams(0.033, 0.160)
 TICKS_PER_SCAN = 6
 TICK_DT = 1.0 / 60.0
+# Torque-capped first-order motor lag between command and plant
+# (ref: turtle_drive_plugin.cpp:226-232) — the dynamic plant, not the
+# idealized kinematic one.
+MOTOR = MotorParams(time_const=0.05)
 
 # Square exploration course inside the box (x, y, theta).
 WAYPOINTS = jnp.asarray([[0.9, 0.0, 0.0], [0.9, 0.9, 0.0],
@@ -77,11 +82,11 @@ def build(num_particles=500, scans_per_chunk=20):
     wheel_bias = jnp.asarray([1.065, 1.005], jnp.float32)
 
     @jax.jit
-    def control_chunk(true_pose, odom_pose, u, wpt_idx, tick):
+    def control_chunk(true_pose, odom_pose, u, wheel_vel, wpt_idx, tick):
         """TICKS_PER_SCAN fused-MPPI control ticks (one device program)."""
 
         def control_tick(t, c):
-            true_pose, odom_pose, u, wpt_idx = c
+            true_pose, odom_pose, u, wheel_vel, wpt_idx = c
             wpt = WAYPOINTS[wpt_idx]
             # Advance on arrival (odometry frame, like the reference
             # node's odomCallBack, mppi_waypoints_node.cpp:231-258).
@@ -96,19 +101,25 @@ def build(num_particles=500, scans_per_chunk=20):
             cmd, u = mppi_solve_fused(mppi_cfg, MODEL, u,
                                       tick * TICKS_PER_SCAN + t,
                                       pose_xyt, wpt)
+            # The plant tracks the command through the motor model; the
+            # odometry integrates the MEASURED (actual) wheel speeds,
+            # biased by the wheel-scale error.
+            wheel_vel = track(MOTOR, wheel_vel, cmd, TICK_DT)
             f = lambda x, uu: kinematic_cart(MODEL, x, uu)
             true_xyt = jnp.stack([true_pose[1], true_pose[2],
                                   true_pose[0]])
             odom_xyt = jnp.stack([odom_pose[1], odom_pose[2],
                                   odom_pose[0]])
-            true_xyt = rk4_step(f, true_xyt, cmd, TICK_DT)
-            odom_xyt = rk4_step(f, odom_xyt, cmd * wheel_bias, TICK_DT)
+            true_xyt = rk4_step(f, true_xyt, wheel_vel, TICK_DT)
+            odom_xyt = rk4_step(f, odom_xyt, wheel_vel * wheel_bias,
+                                TICK_DT)
             true_pose = jnp.stack([true_xyt[2], true_xyt[0], true_xyt[1]])
             odom_pose = jnp.stack([odom_xyt[2], odom_xyt[0], odom_xyt[1]])
-            return true_pose, odom_pose, u, wpt_idx
+            return true_pose, odom_pose, u, wheel_vel, wpt_idx
 
         return jax.lax.fori_loop(0, TICKS_PER_SCAN, control_tick,
-                                 (true_pose, odom_pose, u, wpt_idx))
+                                 (true_pose, odom_pose, u, wheel_vel,
+                                  wpt_idx))
 
     @jax.jit
     def sense(true_pose, tick):
@@ -144,11 +155,12 @@ def build(num_particles=500, scans_per_chunk=20):
             neff,
         ])
 
-    def run_chunk(pf, true_pose, odom_pose, u, wpt_idx, tick, series=None):
+    def run_chunk(pf, true_pose, odom_pose, u, wheel_vel, wpt_idx, tick,
+                  series=None):
         for _ in range(scans_per_chunk):
             prev_odom = odom_pose
-            true_pose, odom_pose, u, wpt_idx = control_chunk(
-                true_pose, odom_pose, u, wpt_idx, tick)
+            true_pose, odom_pose, u, wheel_vel, wpt_idx = control_chunk(
+                true_pose, odom_pose, u, wheel_vel, wpt_idx, tick)
             scan = sense(true_pose, tick)
             pf = slam_update(pf, scan, odom_pose, prev_odom)
             if series is not None:
@@ -156,7 +168,8 @@ def build(num_particles=500, scans_per_chunk=20):
                 # when the caller plots, so dispatch stays async.
                 series.append(tick_metrics(pf, true_pose, odom_pose))
             tick = incr(tick)
-        return pf, true_pose, odom_pose, u, wpt_idx, tick, series
+        return (pf, true_pose, odom_pose, u, wheel_vel, wpt_idx, tick,
+                series)
 
     return pf_cfg, mppi_cfg, run_chunk
 
@@ -169,34 +182,36 @@ def run_experiment(num_particles=500, scans_per_chunk=20):
     true_pose = jnp.zeros(3, jnp.float32)
     odom_pose = jnp.zeros(3, jnp.float32)
     u = init_controls(mppi_cfg)
+    wheel_vel = jnp.zeros(2, jnp.float32)
     wpt_idx = jnp.asarray(0, jnp.int32)
     tick = jnp.asarray(0, jnp.int32)
 
     # Warm-up/compile on a throwaway state.
-    jax.block_until_ready(run_chunk(pf, true_pose, odom_pose, u, wpt_idx,
-                                    tick)[0].poses)
+    jax.block_until_ready(run_chunk(pf, true_pose, odom_pose, u, wheel_vel,
+                                    wpt_idx, tick)[0].poses)
 
     series = []
     t0 = time.time()
-    pf, true_pose, odom_pose, u, wpt_idx, tick, series = run_chunk(
-        pf_init(pf_cfg, seed=3), true_pose, odom_pose, u, wpt_idx, tick,
-        series)
+    pf, true_pose, odom_pose, u, wheel_vel, wpt_idx, tick, series = \
+        run_chunk(pf_init(pf_cfg, seed=3), true_pose, odom_pose, u,
+                  wheel_vel, wpt_idx, tick, series)
     jax.block_until_ready(pf.poses)
     half = time.time() - t0
 
     # ── Checkpoint/resume: the ENTIRE filter (500 poses + 500 maps +
     # ESDFs + PRNG key) plus the controller state round-trips disk.
     ckpt = os.path.join(tempfile.gettempdir(), "rbpf_explore_ckpt.npz")
-    state = (pf, true_pose, odom_pose, u, wpt_idx, tick)
+    state = (pf, true_pose, odom_pose, u, wheel_vel, wpt_idx, tick)
     save_pytree(ckpt, state)
     restored = load_pytree(ckpt, state)
-    pf, true_pose, odom_pose, u, wpt_idx, tick = restored
+    pf, true_pose, odom_pose, u, wheel_vel, wpt_idx, tick = restored
     print(f"checkpointed+restored PFState at scan {int(tick)} "
           f"({os.path.getsize(ckpt) / 1e6:.1f} MB)")
 
     t1 = time.time()
-    pf, true_pose, odom_pose, u, wpt_idx, tick, series = run_chunk(
-        pf, true_pose, odom_pose, u, wpt_idx, tick, series)
+    pf, true_pose, odom_pose, u, wheel_vel, wpt_idx, tick, series = \
+        run_chunk(pf, true_pose, odom_pose, u, wheel_vel, wpt_idx, tick,
+                  series)
     pose, grid_best = best_particle(pf)
     jax.block_until_ready(pose)
     wall = half + (time.time() - t1)

@@ -25,16 +25,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 CPU devices")
-def test_two_process_matches_single_process():
+def test_two_process_matches_single_process(tmp_path):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)   # workers pin cpu themselves
+    # Per-run output dir (advisor r2: fixed tempdir paths race between
+    # concurrent test runs on one machine).
     proc = subprocess.run(
-        [sys.executable, "-m", "examples.mppi_two_process"],
+        [sys.executable, "-m", "examples.mppi_two_process",
+         "--out-dir", str(tmp_path)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-2000:]
 
-    import tempfile
-    data = np.load(os.path.join(tempfile.gettempdir(), "mppi_2proc_0.npz"))
+    data = np.load(tmp_path / "mppi_2proc_0.npz")
 
     # Same program on THIS process's 8 local devices.
     from examples.mppi_two_process import SOLVES

@@ -54,31 +54,35 @@ def test_fused_kernel_external_noise_matches_xla_exactly():
                                atol=2e-4)
 
 
-def test_fused_kernel_real_prng_distributional():
-    """In-kernel PRNG path vs the XLA solver on DIFFERENT RNG streams.
-
-    At the reference λ=0.01 the softmax effectively selects near-argmin
-    rollouts (an extreme-value statistic — it does NOT concentrate with
-    K), so the comparison runs at λ=1.0 where the importance-weighted
-    update is a smooth mean with a large effective sample size and
-    concentrates ~1/sqrt(ESS). The λ=0.01 math itself is pinned exactly
-    by the external-noise parity test above."""
-    import dataclasses
+def test_fused_kernel_real_prng_drives_to_goal():
+    """Behavioral check of the in-kernel PRNG path: point-sample
+    comparisons of single solves are meaningless at MPPI temperatures
+    (the softmax is an extreme-value statistic over the RNG stream), but
+    the CLOSED LOOP must converge — 480 fused solves with the real
+    on-chip PRNG steer the cart to the goal. A Mosaic lowering or PRNG
+    break produces garbage controls and fails this."""
+    from tpunav.models.cart import kinematic_cart
     from tpunav.ops.pallas_mppi import mppi_solve_fused
+    from tpunav.ops.rk4 import rk4_step
 
-    cfg = dataclasses.replace(_cfg(k=49_152), lambda_=1.0)
-    u = m.init_controls(cfg)
-    pose = jnp.zeros(3, jnp.float32)
+    cfg = _cfg(k=16_384)
     xd = jnp.array([0.6, 0.4, 0.0], jnp.float32)
+    tick_dt = 1.0 / 60.0
 
-    cmd_k, u_next_k = mppi_solve_fused(cfg, MODEL, u, 7, pose, xd)
-    cmd_x, u_next_x = m.mppi_solve(cfg, MODEL, u, jax.random.PRNGKey(3),
-                                   pose, xd)
-    assert np.all(np.isfinite(np.asarray(u_next_k)))
-    np.testing.assert_allclose(np.asarray(cmd_k), np.asarray(cmd_x),
-                               atol=0.15)
-    np.testing.assert_allclose(np.asarray(u_next_k), np.asarray(u_next_x),
-                               atol=0.15)
+    @jax.jit
+    def drive(u, pose):
+        def body(c, t):
+            u, pose = c
+            cmd, u = mppi_solve_fused(cfg, MODEL, u, t, pose, xd)
+            f = lambda x, uu: kinematic_cart(MODEL, x, uu)
+            return (u, rk4_step(f, pose, cmd, tick_dt)), None
+        (u, pose), _ = jax.lax.scan(body, (u, pose), jnp.arange(480))
+        return pose
+
+    pose = drive(m.init_controls(cfg), jnp.zeros(3, jnp.float32))
+    d = float(jnp.hypot(pose[0] - xd[0], pose[1] - xd[1]))
+    assert np.isfinite(d)
+    assert d < 0.15, f"fused-PRNG control loop did not converge (d={d})"
 
 
 def test_fused_sharded_one_device_mesh_matches_unsharded():
