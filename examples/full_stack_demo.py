@@ -92,15 +92,19 @@ def run(num_particles=500, max_scans=220, ticks_per_scan=12,
     if use_fused is None:
         use_fused = on_tpu
     grid_cfg = GridConfig()
+    # Wider proposal spread than the exploration demo: the course crosses
+    # the full arena on drifting odometry, so the Gaussian proposal needs
+    # cm-scale sample diversity for the scan/pose likelihoods to pull the
+    # particle cloud back toward the map.
     pf_cfg = PFConfig(num_particles=num_particles, k_samples=50,
-                      sample_range=(1e-6, 1e-5, 1e-5),
-                      motion_noise=(1e-6, 1e-5, 1e-5),
+                      sample_range=(3e-5, 3e-4, 3e-4),
+                      motion_noise=(1e-5, 1e-4, 1e-4),
                       grid=grid_cfg, icp=ICPConfig(max_iter=25))
     mppi_cfg = MPPIConfig(horizon=0.5, dt=0.01,
                           rollouts=2048 if use_fused else 256)
     segs = make_world()
     tick_dt = 1.0 / 60.0
-    wheel_bias = jnp.asarray([1.04, 1.0], jnp.float32)   # odometry drift
+    wheel_bias = jnp.asarray([1.03, 1.0], jnp.float32)   # odometry drift
 
     start_xy = (-1.2, -1.2)
     goal_xy = (1.2, -0.9)        # straight line crosses the barrier
