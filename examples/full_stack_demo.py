@@ -184,6 +184,7 @@ def run(num_particles=500, max_scans=220, ticks_per_scan=12,
 
     lookahead = 8     # cells (~0.4 m) ahead on the D* path
     trail_true, trail_slam, trail_plan = [], [], []
+    stream = []       # per-scan metrics (goal dist, SLAM err, plan len)
     t0 = time.time()
     reached = False
     for tick_i in range(max_scans):
@@ -221,6 +222,10 @@ def run(num_particles=500, max_scans=220, ticks_per_scan=12,
 
         trail_true.append(np.asarray(true_pose))
         trail_slam.append(np.asarray(slam_pose))
+        tp, sp = np.asarray(true_pose), np.asarray(slam_pose)
+        stream.append((np.hypot(tp[1] - goal_xy[0], tp[2] - goal_xy[1]),
+                       np.hypot(*(sp[1:] - tp[1:])),
+                       len(path)))
         if verbose and tick_i % 20 == 0:
             print(f"scan {tick_i:3d}: slam=({slam_np[1]:+.2f},"
                   f"{slam_np[2]:+.2f}) target=({tx:+.2f},{ty:+.2f})",
@@ -238,6 +243,7 @@ def run(num_particles=500, max_scans=220, ticks_per_scan=12,
         "trail_slam": np.asarray(trail_slam),
         "grid": np.asarray(best_particle(pf)[1]),
         "planner": planner,
+        "stream": np.asarray(stream),
     }
     return out
 
@@ -275,6 +281,19 @@ def main():
           f"{out['final_goal_err_m'] * 100:.1f} cm; SLAM-vs-true "
           f"{out['slam_vs_true_m'] * 100:.1f} cm", flush=True)
     plot(out)
+    # Per-scan observability stream (rqt_plot analog).
+    from tpunav.viz import plot_series
+    s = out["stream"]
+    ts = plot_series(
+        {"distance to goal [m]": s[:, 0],
+         "SLAM-vs-true |xy| err [cm]": s[:, 1] * 100,
+         "D* path length [cells]": s[:, 2]},
+        [("m", ["distance to goal [m]"]),
+         ("cm", ["SLAM-vs-true |xy| err [cm]"]),
+         ("cells", ["D* path length [cells]"])],
+        "examples/out/full_stack_timeseries.png",
+        title="full stack: RBPF map → D* Lite → MPPI", xlabel="scan")
+    print(f"wrote {ts}", flush=True)
     assert out["reached"], "goal not reached"
     assert out["final_goal_err_m"] < 0.3
 

@@ -63,21 +63,32 @@ def run(slam_step, cfg, known: bool, steps=400, seed=0):
             if known:
                 meas = associate_known(meas, LANDMARKS, true_pose)
             st = slam_step(cfg, st, meas, u_true + bias)
-            return (key, true_pose, odom, st), None
+            # Per-step observability stream (scan output → host plot):
+            # SLAM + odometry error vs truth, tracked landmark count.
+            from tpunav.core.angles import normalize_angle_pi
+            e_s = robot_pose(st) - true_pose
+            e_o = odom[:3] - true_pose
+            tel = jnp.stack([jnp.hypot(e_s[1], e_s[2]),
+                             normalize_angle_pi(e_s[0]),
+                             jnp.hypot(e_o[1], e_o[2]),
+                             normalize_angle_pi(e_o[0]),
+                             st.count.astype(jnp.float32)])
+            return (key, true_pose, odom, st), tel
 
         init = (key, jnp.zeros(3, jnp.float32),
                 ekf_init(cfg, dtype=jnp.float32).state,
                 ekf_init(cfg, dtype=jnp.float32))
-        (key, true_pose, odom, st), _ = jax.lax.scan(
+        (key, true_pose, odom, st), tel = jax.lax.scan(
             body, init, None, length=steps)
-        return true_pose, odom, st
+        return true_pose, odom, st, tel
 
     t0 = time.time()
-    true_pose, odom, st = jax.block_until_ready(sim(jax.random.PRNGKey(seed)))
+    true_pose, odom, st, tel = jax.block_until_ready(
+        sim(jax.random.PRNGKey(seed)))
     wall = time.time() - t0
     ekf_err = robot_pose(st) - true_pose
     odo_err = odom[:3] - true_pose
-    return ekf_err, odo_err, int(st.count), wall, steps
+    return ekf_err, odo_err, int(st.count), wall, steps, tel
 
 
 def main():
@@ -93,11 +104,31 @@ def main():
                    motion_noise=(1e-5, 1e-5, 1e-5),
                    measurement_noise=(1e-5, 1e-5)), False),
     ]:
-        ekf_err, odo_err, n_lm, wall, steps = run(step_fn, cfg, known)
+        ekf_err, odo_err, n_lm, wall, steps, tel = run(step_fn, cfg, known)
         print(f"{name}: slam_err(theta,x,y)="
               f"{[f'{float(v):+.4f}' for v in ekf_err]} "
               f"odom_err={[f'{float(v):+.4f}' for v in odo_err]} "
               f"landmarks={n_lm} ({steps} steps in {wall:.1f}s)")
+
+        # Per-step stream → rqt_plot-style panel.
+        import numpy as np
+
+        from tpunav.viz import plot_series
+        t = np.asarray(tel)
+        tag = "known" if known else "unknown"
+        out = plot_series(
+            {"SLAM |xy| err [cm]": t[:, 0] * 100,
+             "odometry |xy| err [cm]": t[:, 2] * 100,
+             "SLAM yaw err [deg]": np.degrees(t[:, 1]),
+             "odometry yaw err [deg]": np.degrees(t[:, 3]),
+             "tracked landmarks": t[:, 4]},
+            [("cm", ["SLAM |xy| err [cm]", "odometry |xy| err [cm]"]),
+             ("deg", ["SLAM yaw err [deg]", "odometry yaw err [deg]"]),
+             ("count", ["tracked landmarks"])],
+            f"examples/out/lidar_ekf_{tag}_timeseries.png",
+            title=f"lidar → detector → EKF SLAM ({tag} DA)",
+            xlabel="step")
+        print(f"  wrote {out}")
 
 
 if __name__ == "__main__":

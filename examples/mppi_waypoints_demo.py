@@ -54,11 +54,13 @@ def run(use_fused: bool, rollouts: int):
     st = course_init(cfg, jnp.zeros(3), seed=0)
 
     last = {"visits": 0, "t_first": None}
+    stream = []        # per-tick telemetry chunks (the PoseError stream)
     t0 = time.time()
 
-    def report(st, path):
+    def report(st, tel):
         if last["t_first"] is None:
             last["t_first"] = time.time()   # first chunk done → compiled
+        stream.append(jax.device_get(tel))
         v = int(st.visits)
         if v != last["visits"]:
             pose = np.asarray(st.pose)
@@ -80,6 +82,20 @@ def run(use_fused: bool, rollouts: int):
           f"{wall - steady:.1f} s); steady state "
           f"{steady_ticks / steady:.0f} solves/s = "
           f"{steady_ticks / 60.0 / steady:.1f}x real time")
+
+    # Per-tick observability stream → time-series plot (the reference's
+    # rqt_plot of PoseError, tsim/launch/trect.launch:18-21).
+    from tpunav.viz import plot_series
+    d2g = np.concatenate([c["d2g"] for c in stream])[:ticks]
+    widx = np.concatenate([c["wpt_idx"] for c in stream])[:ticks]
+    out = plot_series(
+        {"distance to active waypoint [m]": d2g,
+         "active waypoint index": widx},
+        [("m", ["distance to active waypoint [m]"]),
+         ("idx", ["active waypoint index"])],
+        f"examples/out/mppi_waypoints_{name}_timeseries.png",
+        title=f"MPPI waypoint course ({name}, K={cfg.rollouts})")
+    print(f"  wrote {out}")
 
 
 def main():

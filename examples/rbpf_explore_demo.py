@@ -238,29 +238,19 @@ def run_experiment(num_particles=500, scans_per_chunk=20):
 def _plot_series(series, out="examples/out/rbpf_explore_timeseries.png"):
     """Per-scan observability time series — the framework's rqt_plot
     (ref: PoseError streaming, tsim/launch/trect.launch:18-21)."""
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    from tpunav.viz import plot_series
 
-    t = np.arange(series.shape[0])
-    fig, axes = plt.subplots(3, 1, figsize=(7, 7), sharex=True)
-    axes[0].plot(t, series[:, 0] * 100, label="SLAM |xy| err")
-    axes[0].plot(t, series[:, 2] * 100, label="odometry |xy| err")
-    axes[0].set_ylabel("cm")
-    axes[0].legend(loc="upper left", fontsize=8)
-    axes[1].plot(t, np.degrees(series[:, 1]), label="SLAM yaw err")
-    axes[1].plot(t, np.degrees(series[:, 3]), label="odometry yaw err")
-    axes[1].set_ylabel("deg")
-    axes[1].legend(loc="upper left", fontsize=8)
-    axes[2].plot(t, series[:, 4], label="N_eff", color="tab:green")
-    axes[2].set_ylabel("N_eff")
-    axes[2].set_xlabel("scan")
-    axes[2].legend(loc="upper left", fontsize=8)
-    fig.suptitle("RBPF exploration: pose error + N_eff per scan")
-    fig.tight_layout()
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    fig.savefig(out, dpi=110)
-    plt.close(fig)
+    plot_series(
+        {"SLAM |xy| err": series[:, 0] * 100,
+         "odometry |xy| err": series[:, 2] * 100,
+         "SLAM yaw err": np.degrees(series[:, 1]),
+         "odometry yaw err": np.degrees(series[:, 3]),
+         "N_eff": series[:, 4]},
+        [("cm", ["SLAM |xy| err", "odometry |xy| err"]),
+         ("deg", ["SLAM yaw err", "odometry yaw err"]),
+         ("N_eff", ["N_eff"])],
+        out, title="RBPF exploration: pose error + N_eff per scan",
+        xlabel="scan")
     print(f"wrote {out}")
 
 

@@ -20,3 +20,15 @@ def test_compose_and_save(tmp_path):
     out = viz.save(ax, str(tmp_path / "map.png"), title="test")
     import os
     assert os.path.getsize(out) > 1000
+
+
+def test_plot_series(tmp_path):
+    """The shared per-tick metrics panel every demo streams into."""
+    import os
+
+    t = np.linspace(0, 10, 200)
+    out = viz.plot_series(
+        {"a": np.sin(t), "b": np.cos(t), "n": np.arange(200)},
+        [("amp", ["a", "b"]), ("count", ["n"])],
+        str(tmp_path / "series.png"), title="test", xlabel="step")
+    assert os.path.getsize(out) > 1000

@@ -50,6 +50,11 @@ def test_chunked_matches_fused():
     np.testing.assert_allclose(np.asarray(out_a.pose),
                                np.asarray(out_b.pose), atol=1e-5)
     assert len(paths) >= 1
+    # Per-tick telemetry stream (the rqt_plot-style metrics feed).
+    tel = paths[0]
+    assert tel["pose"].shape == (100, 3)
+    assert tel["d2g"].shape == (100,)
+    assert tel["wpt_idx"].shape == (100,)
 
 
 def test_done_freezes_pose():

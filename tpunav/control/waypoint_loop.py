@@ -149,20 +149,27 @@ def run_course_chunked(cfg: MPPIConfig, course: CourseConfig,
                       on_chunk=None) -> CourseState:
     """Like :func:`run_course` but syncs to the host every ``chunk`` ticks
     (for progress reporting / trajectory logging) — the closed-loop analog
-    of the reference's rviz path publishing. ``on_chunk(state)`` is called
-    with each synced state."""
+    of the reference's rviz path + PoseError publishing.
+    ``on_chunk(state, telemetry)`` is called with each synced state;
+    ``telemetry`` is a dict of per-tick device arrays {"pose": (chunk,3),
+    "wpt_idx": (chunk,), "d2g": (chunk,)} — the metrics stream the
+    reference pushes over topics into rqt_plot
+    (tsim/launch/trect.launch:18-21)."""
     waypoints = jnp.asarray(waypoints, jnp.float32)
 
     @jax.jit
     def run_chunk(st):
         def body(st, _):
+            wpt = waypoints[st.wpt_idx]
+            d2g = jnp.hypot(st.pose[0] - wpt[0], st.pose[1] - wpt[1])
+            tel = {"pose": st.pose, "wpt_idx": st.wpt_idx, "d2g": d2g}
             return course_tick(cfg, course, model, waypoints, st,
-                               extra_cost, obstacles, obs_cfg), st.pose
+                               extra_cost, obstacles, obs_cfg), tel
         return jax.lax.scan(body, st, None, length=chunk)
 
     while True:
-        st, path = run_chunk(st)
+        st, tel = run_chunk(st)
         if on_chunk is not None:
-            on_chunk(st, path)
+            on_chunk(st, tel)
         if bool(st.done) or int(st.ticks) >= course.max_ticks:
             return st

@@ -86,3 +86,49 @@ def save(ax, path: str, title: str = ""):
         ax.set_title(title)
     ax.figure.savefig(path, dpi=120, bbox_inches="tight")
     return path
+
+
+def plot_series(series, panels, out: str, title: str = "",
+                xlabel: str = "tick", x=None):
+    """Multi-panel per-tick metrics plot — the framework's rqt_plot.
+
+    Every demo streams per-tick observability series (the reference
+    streams PoseError topics into rqt_plot live,
+    tsim/launch/trect.launch:18-21, and paths/markers into rviz); this is
+    the shared render for those streams.
+
+    ``series``: dict name → 1-D array (all the same length).
+    ``panels``: list of (ylabel, [series names]) — one axis per panel,
+    series identified by legend + fixed color order (never a dual axis).
+    """
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    series = {k: np.asarray(v, float) for k, v in series.items()}
+    n = len(panels)
+    fig, axes = plt.subplots(n, 1, figsize=(7, 2.2 * n + 0.8), sharex=True)
+    axes = np.atleast_1d(axes)
+    for ax, (ylabel, names) in zip(axes, panels):
+        for name in names:
+            y = series[name]
+            ax.plot(np.arange(y.size) if x is None else np.asarray(x),
+                    y, lw=1.4, label=name)
+        ax.set_ylabel(ylabel)
+        ax.grid(alpha=0.25, lw=0.5)
+        if len(names) > 1:
+            ax.legend(loc="upper left", fontsize=8)
+        else:
+            ax.set_title(names[0], fontsize=9, loc="left")
+    axes[-1].set_xlabel(xlabel)
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    d = os.path.dirname(out)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    return out
