@@ -145,10 +145,10 @@ def mppi_solve_sharded(cfg: MPPIConfig, model: CartParams, mesh: Mesh,
     ``cfg.rollouts`` must be divisible by the mesh size. All arguments and
     results are replicated; only the rollout working set is sharded.
     """
-    if cfg.rollouts % mesh.devices.size != 0:
+    if cfg.rollouts % int(mesh.shape[axis]) != 0:
         raise ValueError(
-            f"rollouts={cfg.rollouts} not divisible by mesh size "
-            f"{mesh.devices.size}")
+            f"rollouts={cfg.rollouts} not divisible by axis '{axis}' "
+            f"size {int(mesh.shape[axis])}")
     body = partial(_sharded_body, cfg, model, axis)
     # check_vma=False: outputs are replicated by construction (the psum
     # reduces over the only mesh axis), which the varying-manual-axes
