@@ -248,8 +248,9 @@ def run(num_particles=500, max_scans=220, ticks_per_scan=12,
     return out
 
 
-def plot(out, grid_cfg=GridConfig(),
-         path="examples/out/full_stack_demo.png"):
+def plot(out, grid_cfg=GridConfig(), path=None):
+    path = path or os.path.join(os.path.dirname(__file__), "out",
+                                "full_stack_demo.png")
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -291,7 +292,8 @@ def main():
         [("m", ["distance to goal [m]"]),
          ("cm", ["SLAM-vs-true |xy| err [cm]"]),
          ("cells", ["D* path length [cells]"])],
-        "examples/out/full_stack_timeseries.png",
+        os.path.join(os.path.dirname(__file__), "out",
+                     "full_stack_timeseries.png"),
         title="full stack: RBPF map → D* Lite → MPPI", xlabel="scan")
     print(f"wrote {ts}", flush=True)
     assert out["reached"], "goal not reached"

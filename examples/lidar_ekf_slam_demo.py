@@ -15,6 +15,7 @@ error, for both known-DA (via the sim-side correspondence oracle) and
 unknown-DA (Mahalanobis gating on raw detections).
 """
 
+import os
 import time
 
 import jax
@@ -125,7 +126,8 @@ def main():
             [("cm", ["SLAM |xy| err [cm]", "odometry |xy| err [cm]"]),
              ("deg", ["SLAM yaw err [deg]", "odometry yaw err [deg]"]),
              ("count", ["tracked landmarks"])],
-            f"examples/out/lidar_ekf_{tag}_timeseries.png",
+            os.path.join(os.path.dirname(__file__), "out",
+                         f"lidar_ekf_{tag}_timeseries.png"),
             title=f"lidar → detector → EKF SLAM ({tag} DA)",
             xlabel="step")
         print(f"  wrote {out}")

@@ -93,7 +93,8 @@ def run(use_fused: bool, rollouts: int):
          "active waypoint index": widx},
         [("m", ["distance to active waypoint [m]"]),
          ("idx", ["active waypoint index"])],
-        f"examples/out/mppi_waypoints_{name}_timeseries.png",
+        os.path.join(os.path.dirname(__file__), "out",
+                     f"mppi_waypoints_{name}_timeseries.png"),
         title=f"MPPI waypoint course ({name}, K={cfg.rollouts})")
     print(f"  wrote {out}")
 

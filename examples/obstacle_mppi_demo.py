@@ -58,9 +58,9 @@ def main():
     min_clear = {"d": np.inf}
     t0 = time.time()
 
-    def report(st, path):
+    def report(st, tel):
         # Closest approach of the executed trajectory to the wall.
-        p = np.asarray(path)
+        p = np.asarray(tel["pose"])
         dx = np.clip(p[:, 0], 0.95, 1.05) - p[:, 0]
         dy = np.clip(p[:, 1], 0.7, 1.3) - p[:, 1]
         d = np.hypot(dx, dy)

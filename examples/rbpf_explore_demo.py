@@ -235,10 +235,13 @@ def run_experiment(num_particles=500, scans_per_chunk=20):
     }
 
 
-def _plot_series(series, out="examples/out/rbpf_explore_timeseries.png"):
+def _plot_series(series, out=None):
     """Per-scan observability time series — the framework's rqt_plot
     (ref: PoseError streaming, tsim/launch/trect.launch:18-21)."""
     from tpunav.viz import plot_series
+
+    out = out or os.path.join(os.path.dirname(__file__), "out",
+                              "rbpf_explore_timeseries.png")
 
     plot_series(
         {"SLAM |xy| err": series[:, 0] * 100,

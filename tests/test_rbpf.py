@@ -124,6 +124,71 @@ def test_icp_fails_on_garbage():
     assert not bool(res.converged)
 
 
+def test_icp_robust_to_outliers():
+    """25% of the source points replaced by clutter (dynamic obstacles)
+    must not corrupt the recovered transform — the annealed residual
+    gate is the deterministic stand-in for PCL's 0.05 m RANSAC
+    rejection (ref: cloud_alignment.cpp:160-195)."""
+    cfg = ICPConfig()
+    segs = box_segments(-1.5, -1.5, 1.5, 1.5, jnp.float64)
+    pose_b = jnp.array([0.04, 0.06, -0.04])
+    scan_a = scan_segments(jnp.zeros(3, jnp.float64), segs)
+    scan_b = scan_segments(pose_b, segs)
+    src, src_ok = scan_to_points(scan_b, 0.12, 3.5)
+    dst, dst_ok = scan_to_points(scan_a, 0.12, 3.5)
+    rng = np.random.default_rng(3)
+    n = src.shape[0]
+    idx = rng.choice(n, size=n // 4, replace=False)
+    clutter = rng.uniform(-1.3, 1.3, size=(n // 4, 2))
+    src = jnp.asarray(np.asarray(src).copy()).at[idx].set(
+        jnp.asarray(clutter))
+    res = icp_match(cfg, src, src_ok, dst, dst_ok,
+                    jnp.zeros(3, jnp.float64))
+    assert bool(res.converged), (float(res.rmse), float(res.delta_norm),
+                                 float(res.inlier_frac))
+    assert np.allclose(np.asarray(res.transform), np.asarray(pose_b),
+                       atol=0.02), np.asarray(res.transform)
+
+
+def test_icp_partial_overlap():
+    """A contiguous 30% of the destination scan missing (partial
+    overlap) — unmatched source points fall outside every gate, the
+    rest still pin the transform."""
+    cfg = ICPConfig()
+    segs = box_segments(-1.5, -1.5, 1.5, 1.5, jnp.float64)
+    pose_b = jnp.array([0.05, 0.05, 0.03])
+    scan_a = scan_segments(jnp.zeros(3, jnp.float64), segs)
+    scan_b = scan_segments(pose_b, segs)
+    src, src_ok = scan_to_points(scan_b, 0.12, 3.5)
+    dst, dst_ok = scan_to_points(scan_a, 0.12, 3.5)
+    dst_ok = dst_ok.at[:108].set(False)        # 30% of 360 beams gone
+    res = icp_match(cfg, src, src_ok, dst, dst_ok,
+                    jnp.zeros(3, jnp.float64))
+    assert bool(res.converged), (float(res.rmse), float(res.delta_norm))
+    assert np.allclose(np.asarray(res.transform), np.asarray(pose_b),
+                       atol=0.02), np.asarray(res.transform)
+
+
+def test_icp_corridor_reports_nonconvergence():
+    """An infinite corridor constrains only the cross-track direction:
+    the along-track translation is unobservable, so the match must
+    report non-convergence (normal-spectrum degeneracy) and let the
+    particle filter take its motion-model fallback
+    (ref: particle_filter.cpp:160-176)."""
+    cfg = ICPConfig()
+    # Walls far beyond lidar range in x → no endpoint features.
+    segs = jnp.asarray([[-20.0, -0.5, 20.0, -0.5],
+                        [-20.0, 0.5, 20.0, 0.5]], jnp.float64)
+    scan_a = scan_segments(jnp.zeros(3, jnp.float64), segs)
+    scan_b = scan_segments(jnp.array([0.0, 0.3, 0.0]), segs)
+    src, src_ok = scan_to_points(scan_b, 0.12, 3.5)
+    dst, dst_ok = scan_to_points(scan_a, 0.12, 3.5)
+    res = icp_match(cfg, src, src_ok, dst, dst_ok,
+                    jnp.zeros(3, jnp.float64))
+    assert float(res.normal_eig) < cfg.min_normal_eig
+    assert not bool(res.converged)
+
+
 # -------------------------------------------------- particle filter ------
 
 def _pf_cfg():

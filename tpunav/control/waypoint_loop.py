@@ -154,7 +154,10 @@ def run_course_chunked(cfg: MPPIConfig, course: CourseConfig,
     ``telemetry`` is a dict of per-tick device arrays {"pose": (chunk,3),
     "wpt_idx": (chunk,), "d2g": (chunk,)} — the metrics stream the
     reference pushes over topics into rqt_plot
-    (tsim/launch/trect.launch:18-21)."""
+    (tsim/launch/trect.launch:18-21). Telemetry rows are PRE-tick
+    samples: row i is the state course_tick i saw, so the stream starts
+    at the initial state and the final post-tick pose is only in the
+    returned ``st.pose``, never in a chunk."""
     waypoints = jnp.asarray(waypoints, jnp.float32)
 
     @jax.jit

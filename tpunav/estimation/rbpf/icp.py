@@ -31,17 +31,43 @@ from ...core import se2
 @dataclasses.dataclass(frozen=True)
 class ICPConfig:
     """(ref: pclICP cloud_alignment.cpp:160-195 — max_iter=100,
-    max_correspondence=0.5 m, convergence on mean residual.)"""
+    max_correspondence=0.5 m, RANSAC outlier rejection at 0.05 m,
+    convergence on mean residual.)
+
+    ``outlier_thresh`` is the deterministic equivalent of PCL's RANSAC
+    rejection: each iteration gates correspondences at
+    ``max(outlier_thresh, outlier_scale·median_residual)`` — loose while
+    the fit is coarse, tightening to the reference's 0.05 m once the
+    cloud locks on, so gross mismatches (clutter, dynamic obstacles)
+    never enter the Gauss-Newton normal equations.
+
+    Convergence requires ALL of: final mean residual ≤
+    ``converged_rmse``; the last Gauss-Newton step's |(dθ,dx,dy)| ≤
+    ``transform_eps`` (PCL's transformation-epsilon criterion — an
+    oscillating match that lands with small rmse no longer reports
+    success); inlier fraction ≥ ``min_inlier_frac``; and the
+    correspondence-normal spectrum min-eigenvalue ≥ ``min_normal_eig``
+    (a corridor constrains only one translation direction → the
+    match is unobservable and must take the motion-model fallback,
+    ref: particle_filter.cpp:160-176)."""
 
     max_iter: int = 30
     max_corr_dist: float = 0.5
     converged_rmse: float = 0.05
+    outlier_thresh: float = 0.05
+    outlier_scale: float = 3.0
+    transform_eps: float = 1e-3
+    min_inlier_frac: float = 0.2
+    min_normal_eig: float = 0.05
 
 
 class ICPResult(NamedTuple):
-    transform: jnp.ndarray   # (3,) [theta, x, y]
-    converged: jnp.ndarray   # bool
-    rmse: jnp.ndarray        # mean correspondence distance
+    transform: jnp.ndarray     # (3,) [theta, x, y]
+    converged: jnp.ndarray     # bool
+    rmse: jnp.ndarray          # mean inlier correspondence distance
+    inlier_frac: jnp.ndarray   # fraction of valid src points kept
+    delta_norm: jnp.ndarray    # |(dθ,dx,dy)| of the final GN step
+    normal_eig: jnp.ndarray    # min eigenvalue of the normal spectrum
 
 
 def scan_to_points(ranges, range_min, range_max, beam_min=0.0,
@@ -72,6 +98,8 @@ def icp_match(cfg: ICPConfig, src, src_valid, dst, dst_valid,
     """
     big = jnp.asarray(1e9, src.dtype)
     n = dst.shape[0]
+    n_src_valid = jnp.maximum(
+        jnp.sum(src_valid.astype(src.dtype)), 1e-9)
 
     def iteration(T, _):
         moved = se2.apply(T, src)                       # (N, 2)
@@ -81,8 +109,17 @@ def icp_match(cfg: ICPConfig, src, src_valid, dst, dst_valid,
         nn = jnp.argmin(d2, axis=1)
         nn_d = jnp.sqrt(jnp.take_along_axis(d2, nn[:, None], 1)[:, 0])
         # Correspondence rejection (PCL max_correspondence_distance).
-        w = jnp.logical_and(src_valid, nn_d <= cfg.max_corr_dist)
-        w = w.astype(src.dtype)
+        gate = jnp.logical_and(src_valid, nn_d <= cfg.max_corr_dist)
+        # Robust outlier rejection (PCL RANSAC threshold 0.05 m, ref:
+        # cloud_alignment.cpp:160-195): annealed residual gate at
+        # max(outlier_thresh, outlier_scale·median) — median over the
+        # currently gated correspondences via masked sort.
+        d_masked = jnp.sort(jnp.where(gate, nn_d, big))
+        cnt = jnp.sum(gate.astype(jnp.int32))
+        med = d_masked[jnp.maximum(cnt // 2, 0)]
+        rej = jnp.maximum(jnp.asarray(cfg.outlier_thresh, src.dtype),
+                          cfg.outlier_scale * med)
+        w = jnp.logical_and(gate, nn_d <= rej).astype(src.dtype)
         wsum = jnp.maximum(jnp.sum(w), 1e-9)
 
         q = dst[nn]                                     # matched targets
@@ -115,12 +152,32 @@ def icp_match(cfg: ICPConfig, src, src_valid, dst, dst_valid,
         T_delta = jnp.stack([x[0], x[1], x[2]])
         T_new = se2.compose(T_delta, T)
         rmse = jnp.sum(w * nn_d) / wsum
-        return T_new, rmse
+        # Observability: spectrum of the unit-normal outer-product sum.
+        # Eigenvalues are in [0,1] and sum to 1 — a corridor's normals
+        # all point one way, so the min eigenvalue collapses to ~0.
+        nmat = (normal * w[:, None]).T @ normal / wsum        # (2, 2)
+        tr, det = nmat[0, 0] + nmat[1, 1], \
+            nmat[0, 0] * nmat[1, 1] - nmat[0, 1] * nmat[1, 0]
+        disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+        min_eig = tr / 2.0 - disc
+        diag = {"rmse": rmse, "delta": jnp.linalg.norm(x),
+                "inlier_frac": jnp.sum(w) / n_src_valid,
+                "min_eig": min_eig}
+        return T_new, diag
 
-    T, rmses = jax.lax.scan(iteration, jnp.asarray(T_init, src.dtype),
+    T, diags = jax.lax.scan(iteration, jnp.asarray(T_init, src.dtype),
                             None, length=cfg.max_iter)
-    rmse = rmses[-1]
-    converged = jnp.logical_and(rmse <= cfg.converged_rmse,
-                                jnp.sum(src_valid) > 0)
+    rmse = diags["rmse"][-1]
+    delta = diags["delta"][-1]
+    inlier_frac = diags["inlier_frac"][-1]
+    min_eig = diags["min_eig"][-1]
+    converged = (
+        (rmse <= cfg.converged_rmse)
+        & (delta <= cfg.transform_eps)
+        & (inlier_frac >= cfg.min_inlier_frac)
+        & (min_eig >= cfg.min_normal_eig)
+        & (jnp.sum(src_valid) > 0))
     T = T.at[0].set(jnp.arctan2(jnp.sin(T[0]), jnp.cos(T[0])))
-    return ICPResult(transform=T, converged=converged, rmse=rmse)
+    return ICPResult(transform=T, converged=converged, rmse=rmse,
+                     inlier_frac=inlier_frac, delta_norm=delta,
+                     normal_eig=min_eig)

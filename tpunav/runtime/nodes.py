@@ -40,7 +40,7 @@ class OdometerNode:
         msg, self._seen = self.joints.take_new(self._seen)
         if msg is None:
             return
-        left, right = msg
+        left, right = msg[0], msg[1]   # (pos_l, pos_r[, vel_l, vel_r])
         self.state, _ = dd.update_odometry(self.params, self.state,
                                            left, right)
         self.odom.publish(np.asarray(dd.pose(self.state)))
@@ -116,7 +116,12 @@ class TurtleInterfaceNode:
             right = float(normalize_angle_pi(self.rad_per_tick * ticks[1]))
             self.state, wheel_vel = dd.update_odometry(
                 self.params, self.state, left, right)
-            self.joints.publish((left, right))
+            # JointState carries positions AND encoder-derived velocities
+            # (ref: turtle_interface_node.cpp:169-206; the rostest asserts
+            # both, turtle_interface_test_node.cpp:227-231).
+            self.joints.publish((left, right,
+                                 float(wheel_vel[0]),
+                                 float(wheel_vel[1])))
 
 
 class WaypointDriverNode:
@@ -170,18 +175,39 @@ class WaypointDriverNode:
 
 class RotationNode:
     """Calibration maneuvers (ref: nuturtle_robot/src/rotation_node.cpp:
-    166-348): N rotations (or translation steps) with 1/20-cycle pauses
-    between each, timer-driven cmd_vel."""
+    166-348): timer-driven cmd_vel performing either 20 full rotations
+    with 1/20-revolution pauses between each, or — when ``direction`` is
+    "forward"/"backward" — 10 translation steps of 0.2 m with pauses of
+    1/10 the step time (the reference's one service selects the mode,
+    rotation_node.cpp:225-249)."""
 
     def __init__(self, cmd_vel: Channel, direction: str = "clockwise",
-                 frac_vel: float = 0.5, num_cycles: int = 20,
-                 max_rot: float = dd.MAX_ROT_VEL):
+                 frac_vel: float = 0.5, num_cycles: Optional[int] = None,
+                 max_rot: float = dd.MAX_ROT_VEL,
+                 max_trans: float = dd.MAX_TRANS_VEL,
+                 step_dist: float = 0.2):
         self.cmd_vel = cmd_vel
-        sign = -1.0 if direction == "clockwise" else 1.0
-        self.w = sign * frac_vel * max_rot
-        self.num_cycles = num_cycles
-        self.cycle_time = 2.0 * np.pi / abs(self.w)
-        self.pause_time = self.cycle_time / 20.0
+        if direction in ("clockwise", "counter-clockwise"):
+            self.mode = "rotation"
+            sign = -1.0 if direction == "clockwise" else 1.0
+            self.w = sign * frac_vel * max_rot
+            self.v = 0.0
+            self.num_cycles = 20 if num_cycles is None else num_cycles
+            # one revolution, then pause 1/20 of a revolution
+            self.cycle_time = 2.0 * np.pi / abs(self.w)
+            self.pause_time = self.cycle_time / 20.0
+        elif direction in ("forward", "backward"):
+            self.mode = "translation"
+            sign = 1.0 if direction == "forward" else -1.0
+            self.w = 0.0
+            self.v = sign * frac_vel * max_trans
+            self.num_cycles = 10 if num_cycles is None else num_cycles
+            # one 0.2 m step, then pause 1/10 of the step time
+            # (ref: rotation_node.cpp:299-312)
+            self.cycle_time = step_dist / abs(self.v)
+            self.pause_time = self.cycle_time / 10.0
+        else:
+            raise ValueError(f"not a valid direction: {direction!r}")
         self.done = False
 
     def tick(self, t: float) -> None:
@@ -195,6 +221,6 @@ class RotationNode:
             return
         phase = t - slot * (self.cycle_time + self.pause_time)
         if phase < self.cycle_time:
-            self.cmd_vel.publish(np.asarray([self.w, 0.0, 0.0]))
+            self.cmd_vel.publish(np.asarray([self.w, self.v, 0.0]))
         else:
             self.cmd_vel.publish(np.zeros(3))

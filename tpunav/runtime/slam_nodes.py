@@ -117,7 +117,7 @@ class EkfSlamNode:
     def tick(self, t: float) -> None:
         msg, self._seen_joints = self.joints.take_new(self._seen_joints)
         if msg is not None:
-            left, right = msg
+            left, right = msg[0], msg[1]
             self.drive, _ = dd.update_odometry(self.params, self.drive,
                                                left, right)
             self.odom_pose.publish(np.asarray(dd.pose(self.drive)))
@@ -191,7 +191,7 @@ class RbpfMappingNode:
     def tick(self, t: float) -> None:
         msg, self._seen_joints = self.joints.take_new(self._seen_joints)
         if msg is not None:
-            left, right = msg
+            left, right = msg[0], msg[1]
             self.drive, _ = dd.update_odometry(self.params, self.drive,
                                                left, right)
             self._have_odom = True
