@@ -187,10 +187,14 @@ def pf_slam_step_sharded(cfg: PFConfig, mesh: Mesh, axis_name: str = "p",
                          grids=part, dists=part, prev_scan=rep,
                          has_prev=rep, key=rep)
     body = functools.partial(_sharded_step, cfg, axis_name, backend)
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # metadata (same reason as the fused MPPI path,
+    # mppi_sharded.py:136); the out_specs pytree states the sharding.
     mapped = jax.shard_map(
         body, mesh=mesh,
         in_specs=(state_spec, rep, rep, rep, rep),
-        out_specs=state_spec)
+        out_specs=state_spec,
+        check_vma=False)
     return jax.jit(mapped)
 
 
