@@ -264,6 +264,10 @@ def plot(out, grid_cfg=GridConfig(), path=None):
     ts = out["trail_slam"]
     ax.plot(tt[:, 1], tt[:, 2], "g-", lw=1.5, label="true path")
     ax.plot(ts[:, 1], ts[:, 2], "b--", lw=1.0, label="SLAM estimate")
+    # Robot model at the final pose (rviz RobotModel replacement —
+    # tpunav/robot_model.py mirrors the reference URDF).
+    from tpunav.viz import draw_robot
+    draw_robot(tt[-1], ax=ax)
     ax.plot([-1.2], [-1.2], "go", ms=8)
     ax.plot([1.2], [-0.9], "r*", ms=14, label="goal")
     ax.legend(loc="upper left", fontsize=8)

@@ -81,6 +81,44 @@ def draw_path(path, ax=None, color="tab:blue", label=None, lw=1.5):
     return ax
 
 
+def draw_robot(pose, model=None, ax=None, color="tab:blue"):
+    """2D render of the robot model at ``pose`` [theta, x, y] (the
+    framework's SE(2) convention) — the rviz RobotModel display
+    replacement (ref: the xacro visuals,
+    nuturtle_description/urdf/diff_drive.urdf.xacro): chassis/wheel
+    footprint polygon, wheel rectangles, caster dot, heading arrow."""
+    import matplotlib.patches as mp
+
+    from .robot_model import TURTLEBOT3_MODEL
+
+    model = model or TURTLEBOT3_MODEL
+    ax = _ax(ax)
+    th, x, y = float(pose[0]), float(pose[1]), float(pose[2])
+    c, s = np.cos(th), np.sin(th)
+    R = np.asarray([[c, -s], [s, c]])
+
+    fp = model.footprint() @ R.T + [x, y]
+    ax.add_patch(mp.Polygon(fp, closed=True, facecolor=color, alpha=0.35,
+                            edgecolor=color))
+    cfg = model.config
+    for side in (1.0, -1.0):
+        wheel = np.asarray([
+            [-2 * cfg.wheel_radius, side * cfg.wheel_base / 2
+             - cfg.wheel_width / 2],
+            [0.0, side * cfg.wheel_base / 2 - cfg.wheel_width / 2],
+            [0.0, side * cfg.wheel_base / 2 + cfg.wheel_width / 2],
+            [-2 * cfg.wheel_radius, side * cfg.wheel_base / 2
+             + cfg.wheel_width / 2]])
+        ax.add_patch(mp.Polygon(wheel @ R.T + [x, y], closed=True,
+                                facecolor="k", alpha=0.7))
+    caster = model.links["caster"]
+    cx, cy = R @ np.asarray(caster.origin_xyz[:2]) + [x, y]
+    ax.add_patch(mp.Circle((cx, cy), model.caster_radius, color="k"))
+    ax.annotate("", xy=(x + 0.1 * c, y + 0.1 * s), xytext=(x, y),
+                arrowprops=dict(arrowstyle="->", color=color))
+    return ax
+
+
 def save(ax, path: str, title: str = ""):
     if title:
         ax.set_title(title)
