@@ -62,6 +62,25 @@ def test_map_update_kernel_matches_xla():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_likelihood_kernel_multi_chunk_path():
+    """k·bp above the single-chunk budget exercises the fori-chunked
+    kernel path (k=60 x 384 padded lanes > 19,200); results must match
+    the XLA gather exactly like the single-chunk case."""
+    cfg = GridConfig()      # 360 beams → bp=384
+    p, k = 2, 60
+    h, w = cfg.height, cfg.width
+    dists = jax.random.uniform(jax.random.PRNGKey(0), (p, h, w),
+                               jnp.float32, 0.0, 3.0)
+    ranges = jax.random.uniform(jax.random.PRNGKey(1), (cfg.num_beams,),
+                                jnp.float32, 0.5, 3.0)
+    samples = jax.random.normal(jax.random.PRNGKey(2), (p, k, 3),
+                                jnp.float32) * 0.3
+    a = _lik_pallas(cfg, dists, ranges, samples, interpret=True)
+    b = _lik_xla(cfg, dists, ranges, samples)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-3, rtol=1e-5)
+
+
 def test_kernels_at_160x160_map():
     """8x8 m @ 0.05 = 160x160 cells — twice the reference's 4x4 world
     per side (judge r3 next #5). The kernels keep one map plane per

@@ -122,9 +122,13 @@ def _lik_pallas(cfg, dist_fields, ranges, samples, interpret=False):
     k = samples.shape[1]
     b = cfg.num_beams
     bp = _round_up(b, _LANES)
-    # ~3840-lane chunks: big enough to fill the MXU, small enough that the
-    # one-hot scratch stays ~1 MB.
-    ch_s = max(1, 3840 // bp)
+    # Prefer ONE chunk (no fori, no k-padding — measured ~6% faster at
+    # bench shape) while the one-hot scratch stays within a ~20k-lane
+    # budget; beyond that, ~3840-lane chunks keep it ~1 MB.
+    if k * bp <= 19_200:
+        ch_s = k
+    else:
+        ch_s = max(1, 3840 // bp)
     kp = _round_up(k, ch_s)
     n_chunks = kp // ch_s
     ch_q = ch_s * bp

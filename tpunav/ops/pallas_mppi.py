@@ -238,6 +238,17 @@ def _solve_update(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
         raise ValueError(f"rollouts must be a multiple of {_LANES}")
     sub = cfg.rollouts // _LANES
     n = cfg.steps
+    # Single-kernel VMEM envelope: the (N, S, 128) loss/cost-to-go
+    # scratch is the big resident block (N·K·4 bytes; K=49,152 at N=50
+    # ≈ 9.8 MB of the ~16 MB VMEM — measured OOM at 2x that). Fail with
+    # a pointer to the sharded path instead of a Mosaic stack OOM.
+    scratch_bytes = n * cfg.rollouts * 4
+    if scratch_bytes > 14 << 20:
+        raise ValueError(
+            f"K={cfg.rollouts} x N={n} needs ~{scratch_bytes >> 20} MB of "
+            "VMEM scratch — beyond the single-kernel envelope. Shard K "
+            "over a mesh (parallel/mppi_sharded.mppi_solve_fused_sharded) "
+            "or use the XLA path (control/mppi.mppi_solve)")
     external = noise is not None
     n_obs = 0 if obstacles is None else obstacles.shape[0] - 1
 
