@@ -123,9 +123,13 @@ def _lik_pallas(cfg, dist_fields, ranges, samples, interpret=False):
     b = cfg.num_beams
     bp = _round_up(b, _LANES)
     # Prefer ONE chunk (no fori, no k-padding — measured ~6% faster at
-    # bench shape) while the one-hot scratch stays within a ~20k-lane
-    # budget; beyond that, ~3840-lane chunks keep it ~1 MB.
-    if k * bp <= 19_200:
+    # bench shape) when BOTH the query stream and the field are small:
+    # the (H, CH_Q)/(W, CH_Q) one-hot and gather intermediates scale
+    # with the field side, and 160x160 @ 19,200 lanes is a measured
+    # Mosaic VMEM OOM (17.4 MB vs the 16 MB limit) even though
+    # 80x80 @ 19,200 compiles. Bigger fields use ~3840-lane chunks
+    # (~1 MB scratch), which compile and run at 160x160.
+    if k * bp <= 19_200 and h * w <= 6_400:
         ch_s = k
     else:
         ch_s = max(1, 3840 // bp)

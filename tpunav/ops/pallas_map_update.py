@@ -165,14 +165,15 @@ def map_update_batch(cfg, grids, ranges, poses, *, interpret: bool = False):
     f32 = jnp.float32
     two_pi = 2.0 * jnp.pi
     # Design envelope: one map plane per program stays resident in VMEM
-    # (~16 MB/core); the kernel holds ~15 plane-sized temporaries, so cap
-    # the plane at ~1 MB ≈ 512x512 — far beyond the reference's 80x80
-    # and the 160x160 8x8 m config (both tested). Bigger maps need a
-    # tiled EDT (block-boundary distance exchange), which this kernel
-    # deliberately does not implement.
-    if h * w * 4 > 1 << 20:
+    # (~16 MB/core); the kernel holds ~15 plane-sized temporaries, so
+    # cap the plane at ~410 KB ≈ 320x320 (measured: 320x320 compiles on
+    # v5e, 512x512 is a Mosaic VMEM OOM) — still 4x the reference's
+    # 80x80 world per side, with the 160x160 8x8 m config tested in the
+    # gate. Bigger maps need a tiled EDT (block-boundary distance
+    # exchange), which this kernel deliberately does not implement.
+    if h * w * 4 > 420 << 10:
         raise ValueError(
-            f"map plane {h}x{w} exceeds the in-VMEM envelope (~512x512); "
+            f"map plane {h}x{w} exceeds the in-VMEM envelope (~320x320); "
             "use the XLA backend or tile the map")
     b_full_f = two_pi / cfg.beam_delta
     if abs(b_full_f - round(b_full_f)) > 1e-6:

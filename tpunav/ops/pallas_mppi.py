@@ -239,11 +239,13 @@ def _solve_update(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
     sub = cfg.rollouts // _LANES
     n = cfg.steps
     # Single-kernel VMEM envelope: the (N, S, 128) loss/cost-to-go
-    # scratch is the big resident block (N·K·4 bytes; K=49,152 at N=50
-    # ≈ 9.8 MB of the ~16 MB VMEM — measured OOM at 2x that). Fail with
-    # a pointer to the sharded path instead of a Mosaic stack OOM.
+    # scratch is the big resident block (N·K·4 bytes), and the other
+    # resident blocks (controls, poses, per-step temporaries) leave only
+    # ~10 MB for it — measured: K=49,152 at N=50 (9.8 MB) compiles,
+    # K=65,536 (12.5 MB) OOMs inside Mosaic. Fail with a pointer to the
+    # sharded path instead of a Mosaic stack OOM.
     scratch_bytes = n * cfg.rollouts * 4
-    if scratch_bytes > 14 << 20:
+    if scratch_bytes > 10 << 20:
         raise ValueError(
             f"K={cfg.rollouts} x N={n} needs ~{scratch_bytes >> 20} MB of "
             "VMEM scratch — beyond the single-kernel envelope. Shard K "
