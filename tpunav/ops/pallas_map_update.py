@@ -27,6 +27,13 @@ VMEM end-to-end:
 Outputs (new_log_odds, dist_field) match the XLA pair
 (integrate_scan → esdf) to float tolerance; the XLA path remains the
 portable/CPU reference (pf_slam_step selects by backend).
+
+Tried and rejected (r4): stacking cp particles per program along
+sublanes to amortize the sequential-loop overheads — measured SLOWER
+(81.5 vs 91.1 updates/s at P=500, cp=4): once the EDT envelope pass
+rides sublane rolls, per-program overhead is no longer the bottleneck,
+and the banding's extra per-band endpoint matmuls/selects plus the
+worse (cp·H, W) tiling outweigh the amortization.
 """
 
 from __future__ import annotations
