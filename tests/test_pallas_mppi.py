@@ -5,6 +5,7 @@ input bypasses the on-core PRNG so the comparison is deterministic.
 The real-chip path is exercised by bench.py and the verify drive.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -156,3 +157,57 @@ def test_rollouts_must_be_lane_multiple():
     with pytest.raises(ValueError):
         mppi_solve_fused(cfg, MODEL, init_controls(cfg), 0,
                          jnp.zeros(3), jnp.zeros(3), interpret=True)
+
+
+def test_blocked_fused_matches_xla_with_external_noise():
+    """mppi_solve_fused_blocked splits K into sequential kernel blocks
+    and recombines softmax partials with the sharded path's algebra —
+    identical noise through 2 blocks must reproduce the XLA solver
+    (the single-chip beyond-VMEM-envelope path)."""
+    from tpunav.control import mppi as m
+    from tpunav.models.cart import CartParams
+    from tpunav.ops.pallas_mppi import mppi_solve_fused_blocked
+
+    model = CartParams(0.033, 0.160)
+    cfg = m.MPPIConfig(rollouts=1024, horizon=0.3, dt=0.01)
+    blocks = 2
+    sub = cfg.rollouts // 128
+    u = m.init_controls(cfg)
+    pose = jnp.array([0.1, -0.2, 0.3], jnp.float32)
+    xd = jnp.array([1.0, 1.0, 0.0], jnp.float32)
+    sig = jnp.sqrt(jnp.asarray([cfg.ul_var, cfg.ur_var], jnp.float32))
+    noise = jax.random.normal(
+        jax.random.PRNGKey(5), (cfg.steps, sub, 128, 2), jnp.float32) * sig
+
+    # Per-block layout: split the rollout-tile axis S across blocks.
+    noise_blk = noise.reshape(cfg.steps, blocks, sub // blocks, 128, 2)
+    noise_blk = jnp.moveaxis(noise_blk, 1, 0)   # (B, N, S/B, 128, 2)
+
+    cmd_b, u_next_b = mppi_solve_fused_blocked(
+        cfg, model, u, 0, pose, xd, blocks, noise=noise_blk,
+        interpret=True)
+
+    noise_xla = noise.transpose(1, 2, 0, 3).reshape(cfg.rollouts,
+                                                    cfg.steps, 2)
+    loss, _ = m.rollout_losses(cfg, model, pose, u[None] + noise_xla, xd)
+    j = m.cost_to_go(loss)
+    u_new = m.update_controls(cfg, u, noise_xla, j)
+    np.testing.assert_allclose(np.asarray(cmd_b), np.asarray(u_new[0]),
+                               atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(u_next_b[:-1]),
+        np.asarray(m.shift_controls(cfg, u_new)[:-1]), atol=2e-4)
+
+
+def test_blocked_fused_rejects_misaligned_blocks():
+    import pytest
+
+    from tpunav.control import mppi as m
+    from tpunav.models.cart import CartParams
+    from tpunav.ops.pallas_mppi import mppi_solve_fused_blocked
+
+    cfg = m.MPPIConfig(rollouts=1024, horizon=0.3, dt=0.01)
+    with pytest.raises(ValueError):
+        mppi_solve_fused_blocked(cfg, CartParams(0.033, 0.16),
+                                 m.init_controls(cfg), 0,
+                                 jnp.zeros(3), jnp.ones(3), blocks=3)

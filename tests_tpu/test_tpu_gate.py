@@ -62,6 +62,29 @@ def test_fused_kernel_external_noise_matches_xla_exactly(k):
                                atol=2e-4)
 
 
+def test_blocked_fused_beyond_envelope_runs():
+    """K=98,304 exceeds the single-kernel VMEM envelope (measured Mosaic
+    OOM); the blocked solve splits it into two sequential kernel blocks
+    and must produce finite, clamped controls with the real on-chip
+    PRNG."""
+    from tpunav.ops.pallas_mppi import mppi_solve_fused, \
+        mppi_solve_fused_blocked
+
+    cfg = _cfg(k=98_304)
+    u = m.init_controls(cfg)
+    pose = jnp.zeros(3, jnp.float32)
+    xd = jnp.array([0.8, 0.5, 0.0], jnp.float32)
+
+    with pytest.raises(ValueError):
+        mppi_solve_fused(cfg, MODEL, u, 0, pose, xd)   # over the envelope
+
+    cmd, u_next = jax.jit(
+        lambda u: mppi_solve_fused_blocked(cfg, MODEL, u, 7, pose, xd,
+                                           blocks=2))(u)
+    assert np.all(np.isfinite(np.asarray(cmd)))
+    assert np.all(np.abs(np.asarray(u_next)) <= cfg.max_wheel_vel + 1e-6)
+
+
 def test_fused_kernel_real_prng_drives_to_goal():
     """Behavioral check of the in-kernel PRNG path: point-sample
     comparisons of single solves are meaningless at MPPI temperatures

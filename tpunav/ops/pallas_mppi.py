@@ -248,9 +248,11 @@ def _solve_update(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
     if scratch_bytes > 10 << 20:
         raise ValueError(
             f"K={cfg.rollouts} x N={n} needs ~{scratch_bytes >> 20} MB of "
-            "VMEM scratch — beyond the single-kernel envelope. Shard K "
-            "over a mesh (parallel/mppi_sharded.mppi_solve_fused_sharded) "
-            "or use the XLA path (control/mppi.mppi_solve)")
+            "VMEM scratch — beyond the single-kernel envelope. Use "
+            "mppi_solve_fused_blocked (sequential blocks on one chip), "
+            "shard K over a mesh "
+            "(parallel/mppi_sharded.mppi_solve_fused_sharded), or the "
+            "XLA path (control/mppi.mppi_solve)")
     external = noise is not None
     n_obs = 0 if obstacles is None else obstacles.shape[0] - 1
 
@@ -333,4 +335,59 @@ def mppi_solve_fused(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
     u_new = _solve_update(cfg, model, u, seed, pose_xyt, xd, noise,
                           pack_obstacles(obstacles, obs_cfg),
                           interpret=interpret)
+    return u_new[0], shift_controls(cfg, u_new)
+
+
+def mppi_solve_fused_blocked(cfg: MPPIConfig, model: CartParams, u, seed,
+                             pose_xyt, xd, blocks: int, noise=None,
+                             obstacles=None, obs_cfg=None,
+                             interpret=False):
+    """Fused solve for K beyond the single-kernel VMEM envelope on ONE
+    chip: split K into ``blocks`` sequential kernel invocations emitting
+    softmax partials, combined with the exact same rescaled-exponential
+    algebra as the cross-device path
+    (parallel/mppi_sharded.py:_fused_sharded_body — there via pmin/psum,
+    here via plain reductions over the block axis). Block 0 keeps the
+    caller's seed, so ``blocks=1`` reproduces :func:`mppi_solve_fused`'s
+    PRNG stream exactly.
+
+    ``noise``: optional (blocks, N, S/blocks, 128, 2) per-block
+    perturbations for deterministic parity tests (the rollout-tile axis
+    of the unsharded layout, split across blocks).
+    """
+    import dataclasses
+
+    if cfg.rollouts % (blocks * _LANES) != 0:
+        raise ValueError(
+            f"rollouts={cfg.rollouts} must split into {blocks} blocks "
+            f"of whole {_LANES}-lane tiles")
+    cfg_local = dataclasses.replace(cfg, rollouts=cfg.rollouts // blocks)
+    packed = pack_obstacles(obstacles, obs_cfg)
+    # Distinct PRNG stream per block (golden-ratio stride, matching the
+    # sharded path's per-shard seeds).
+    seeds = (jnp.asarray(seed, jnp.int32) +
+             jnp.arange(blocks, dtype=jnp.int32) * jnp.int32(-0x61C88647))
+
+    def one_block(args):
+        s, nz = args
+        return _solve_update(cfg_local, model, u, s, pose_xyt, xd, nz,
+                             packed, partial_out=True,
+                             interpret=interpret)
+
+    if noise is None:
+        parts = jax.lax.map(lambda s: one_block((s, None)), seeds)
+    else:
+        parts = jax.lax.map(one_block, (seeds, noise))      # (B, N, 6)
+
+    m_l = parts[..., 0]                                     # (B, N)
+    m_g = jnp.min(m_l, axis=0)                              # (N,)
+    s = jnp.exp((m_g - m_l) * (1.0 / cfg.lambda_))          # (B, N)
+    contrib = s[..., None] * parts[..., 1:4]                # (B, N, 3)
+    red = jnp.sum(jnp.concatenate([contrib, parts[..., 4:6]], axis=-1),
+                  axis=0)                                   # (N, 5)
+    denom = red[:, 0] + 1e-8 * cfg.rollouts
+    du0 = (red[:, 1] + 1e-8 * red[:, 3]) / denom
+    du1 = (red[:, 2] + 1e-8 * red[:, 4]) / denom
+    u_new = u + jnp.stack([du0, du1], axis=1)
+    u_new = jnp.clip(u_new, -cfg.max_wheel_vel, cfg.max_wheel_vel)
     return u_new[0], shift_controls(cfg, u_new)
