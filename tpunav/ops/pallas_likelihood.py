@@ -123,13 +123,15 @@ def _lik_pallas(cfg, dist_fields, ranges, samples, interpret=False):
     b = cfg.num_beams
     bp = _round_up(b, _LANES)
     # Prefer ONE chunk (no fori, no k-padding — measured ~6% faster at
-    # bench shape) when BOTH the query stream and the field are small:
-    # the (H, CH_Q)/(W, CH_Q) one-hot and gather intermediates scale
-    # with the field side, and 160x160 @ 19,200 lanes is a measured
-    # Mosaic VMEM OOM (17.4 MB vs the 16 MB limit) even though
-    # 80x80 @ 19,200 compiles. Bigger fields use ~3840-lane chunks
-    # (~1 MB scratch), which compile and run at 160x160.
-    if k * bp <= 19_200 and h * w <= 6_400:
+    # bench shape) when the chunk intermediates fit VMEM. They scale
+    # with the field SIDES, not its area: the (H, CH_Q) bf16 row
+    # one-hot costs 2·h·CH_Q bytes and the (W, CH_Q) f32 col-one-hot +
+    # gather result cost 8·w·CH_Q (reviewer r4: an area-based guard let
+    # wide low-aspect maps through to a Mosaic OOM). Budget anchored to
+    # measurement: 80x80 @ 19,200 lanes (15.4 MB by this model)
+    # compiles, 160x160 (30.7 MB) OOMs. Bigger fields use ~3840-lane
+    # chunks (~1 MB scratch), which compile and run at 160x160.
+    if (2 * h + 8 * w) * k * bp <= 16 << 20:
         ch_s = k
     else:
         ch_s = max(1, 3840 // bp)

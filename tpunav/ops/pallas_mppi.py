@@ -317,6 +317,30 @@ def mppi_solve_partials(cfg: MPPIConfig, model: CartParams, u, seed,
                          partial_out=True, interpret=interpret)
 
 
+def combine_softmax_partials(cfg: MPPIConfig, u, part, min_fn, sum_fn):
+    """Recombine (…, N, 6) softmax partials [m_l, Σe, Σe·z0, Σe·z1, Σz0,
+    Σz1] into the updated controls — the ONE implementation of the
+    rescaled-exponential algebra shared by the cross-device path
+    (min_fn/sum_fn = pmin/psum over a mesh axis,
+    parallel/mppi_sharded.py) and the single-chip blocked path
+    (jnp.min/jnp.sum over the leading block axis). The reference softmax
+    (mppi.cpp:112-121) is w = exp((m_g−j)/λ) + 1e-8 with the GLOBAL min
+    m_g; exp((m_g−j)/λ) = exp((m_g−m_l)/λ)·exp((m_l−j)/λ), so each
+    contribution rescales by s = exp((m_g−m_l)/λ) and the 1e-8 floor
+    adds the plain noise sums."""
+    m_l = part[..., 0]
+    m_g = min_fn(m_l)                                       # (N,)
+    s = jnp.exp((m_g - m_l) * (1.0 / cfg.lambda_))
+    contrib = s[..., None] * part[..., 1:4]
+    red = sum_fn(jnp.concatenate([contrib, part[..., 4:6]], axis=-1))
+    denom = red[:, 0] + 1e-8 * cfg.rollouts                 # red: (N, 5)
+    du0 = (red[:, 1] + 1e-8 * red[:, 3]) / denom
+    du1 = (red[:, 2] + 1e-8 * red[:, 4]) / denom
+    u_new = u + jnp.stack([du0, du1], axis=1)
+    u_new = jnp.clip(u_new, -cfg.max_wheel_vel, cfg.max_wheel_vel)
+    return u_new[0], shift_controls(cfg, u_new)
+
+
 def mppi_solve_fused(cfg: MPPIConfig, model: CartParams, u, seed, pose_xyt,
                      xd, noise=None, obstacles=None, obs_cfg=None,
                      interpret=False):
@@ -357,6 +381,8 @@ def mppi_solve_fused_blocked(cfg: MPPIConfig, model: CartParams, u, seed,
     """
     import dataclasses
 
+    if blocks < 1:
+        raise ValueError(f"blocks must be >= 1, got {blocks}")
     if cfg.rollouts % (blocks * _LANES) != 0:
         raise ValueError(
             f"rollouts={cfg.rollouts} must split into {blocks} blocks "
@@ -379,15 +405,7 @@ def mppi_solve_fused_blocked(cfg: MPPIConfig, model: CartParams, u, seed,
     else:
         parts = jax.lax.map(one_block, (seeds, noise))      # (B, N, 6)
 
-    m_l = parts[..., 0]                                     # (B, N)
-    m_g = jnp.min(m_l, axis=0)                              # (N,)
-    s = jnp.exp((m_g - m_l) * (1.0 / cfg.lambda_))          # (B, N)
-    contrib = s[..., None] * parts[..., 1:4]                # (B, N, 3)
-    red = jnp.sum(jnp.concatenate([contrib, parts[..., 4:6]], axis=-1),
-                  axis=0)                                   # (N, 5)
-    denom = red[:, 0] + 1e-8 * cfg.rollouts
-    du0 = (red[:, 1] + 1e-8 * red[:, 3]) / denom
-    du1 = (red[:, 2] + 1e-8 * red[:, 4]) / denom
-    u_new = u + jnp.stack([du0, du1], axis=1)
-    u_new = jnp.clip(u_new, -cfg.max_wheel_vel, cfg.max_wheel_vel)
-    return u_new[0], shift_controls(cfg, u_new)
+    return combine_softmax_partials(
+        cfg, u, parts,
+        min_fn=lambda m: jnp.min(m, axis=0),
+        sum_fn=lambda x: jnp.sum(x, axis=0))

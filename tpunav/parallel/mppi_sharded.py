@@ -29,7 +29,7 @@ from ..control.mppi import (
     shift_controls,
 )
 from ..models.cart import CartParams
-from ..ops.pallas_mppi import mppi_solve_partials
+from ..ops.pallas_mppi import combine_softmax_partials, mppi_solve_partials
 
 
 def _sharded_body(cfg: MPPIConfig, model: CartParams, axis: str,
@@ -71,12 +71,11 @@ def _fused_sharded_body(cfg: MPPIConfig, model: CartParams, axis: str,
     """Per-shard fused-Pallas solve + exact cross-shard softmax combine.
 
     The kernel emits per-shard partials with the LOCAL min m_l
-    (ops/pallas_mppi.py:mppi_solve_partials). The reference softmax
-    (mppi.cpp:112-121) is w = exp((m_g−j)/λ) + 1e-8 with the GLOBAL min
-    m_g; since exp((m_g−j)/λ) = exp((m_g−m_l)/λ)·exp((m_l−j)/λ), each
-    shard's exp-sums rescale by s = exp((m_g−m_l)/λ) and the 1e-8 floor
-    contributes the plain noise sums — one pmin + one fused psum per
-    solve, identical math to the single-chip kernel.
+    (ops/pallas_mppi.py:mppi_solve_partials); the recombination algebra
+    lives in ONE place — ops/pallas_mppi.py:combine_softmax_partials —
+    shared with the single-chip blocked path. Here the reductions are
+    one pmin + one fused psum per solve, identical math to the
+    single-chip kernel.
     """
     idx = jax.lax.axis_index(axis)
     cfg_local = dataclasses.replace(cfg, rollouts=cfg.rollouts // nshards)
@@ -87,20 +86,10 @@ def _fused_sharded_body(cfg: MPPIConfig, model: CartParams, axis: str,
     part = mppi_solve_partials(cfg_local, model, u, seed_local, pose_xyt,
                                xd, noise=noise, obstacles=obstacles,
                                obs_cfg=obs_cfg, interpret=interpret)
-    m_l = part[:, 0]
-    m_g = jax.lax.pmin(m_l, axis)                           # (N,)
-    s = jnp.exp((m_g - m_l) * (1.0 / cfg.lambda_))
-    contrib = jnp.stack(
-        [s * part[:, 1], s * part[:, 2], s * part[:, 3]], axis=1)
-    red = jax.lax.psum(
-        jnp.concatenate([contrib, part[:, 4:6]], axis=1), axis)  # (N, 5)
-
-    denom = red[:, 0] + 1e-8 * cfg.rollouts
-    du0 = (red[:, 1] + 1e-8 * red[:, 3]) / denom
-    du1 = (red[:, 2] + 1e-8 * red[:, 4]) / denom
-    u_new = u + jnp.stack([du0, du1], axis=1)
-    u_new = jnp.clip(u_new, -cfg.max_wheel_vel, cfg.max_wheel_vel)
-    return u_new[0], shift_controls(cfg, u_new)
+    return combine_softmax_partials(
+        cfg, u, part,
+        min_fn=lambda m: jax.lax.pmin(m, axis),
+        sum_fn=lambda x: jax.lax.psum(x, axis))
 
 
 def mppi_solve_fused_sharded(cfg: MPPIConfig, model: CartParams, mesh: Mesh,
