@@ -52,7 +52,13 @@ class GridConfig:
     prob_occ: float = 0.90
     prob_free: float = 0.35
     max_occ_dist: float = 10.0
-    # Beam-model mixture (slam.launch:40-44); must sum to 1 with z_short.
+    # Beam-model mixture (slam.launch:40-44). The reference's
+    # LaserProperties asserts z_hit+z_short+z_max+z_rand ≈ 1 at
+    # construction (sensor_model.hpp:20-79) even though its
+    # likelihoodFieldModel — like ours — only ever evaluates
+    # z_hit·N(d;σ²) + z_rand/z_max (grid_mapper.cpp:119-121): z_short is
+    # a beam-model component with no likelihood-field term. We keep the
+    # field and the constructor check for config parity (__post_init__).
     z_hit: float = 0.95
     z_short: float = 0.0
     z_max: float = 0.04
@@ -64,6 +70,15 @@ class GridConfig:
     beam_delta: float = jnp.pi / 180.0
     range_min: float = 0.12
     range_max: float = 3.5
+
+    def __post_init__(self):
+        total = self.z_hit + self.z_short + self.z_max + self.z_rand
+        if abs(total - 1.0) > 1e-6:
+            raise ValueError(
+                f"beam-model mixture must sum to 1 (ref: LaserProperties "
+                f"ctor assert, sensor_model.hpp:20-79): z_hit={self.z_hit} "
+                f"+ z_short={self.z_short} + z_max={self.z_max} + "
+                f"z_rand={self.z_rand} = {total}")
 
     @property
     def width(self) -> int:

@@ -36,10 +36,13 @@ class ICPConfig:
 
     ``outlier_thresh`` is the deterministic equivalent of PCL's RANSAC
     rejection: each iteration gates correspondences at
-    ``max(outlier_thresh, outlier_scale·median_residual)`` — loose while
-    the fit is coarse, tightening to the reference's 0.05 m once the
-    cloud locks on, so gross mismatches (clutter, dynamic obstacles)
-    never enter the Gauss-Newton normal equations.
+    ``max(outlier_thresh, outlier_scale·q40_residual)`` (0.4 quantile of
+    the gated residuals) — loose while the fit is coarse, tightening to
+    the reference's 0.05 m once the cloud locks on, so gross mismatches
+    (clutter, dynamic obstacles) never enter the Gauss-Newton normal
+    equations. The sub-median anchor assumes the gated set is < ~60%
+    contaminated; beyond that the anneal stalls at max_corr_dist and the
+    convergence criteria below reject the match.
 
     Convergence requires ALL of: final mean residual ≤
     ``converged_rmse``; the last Gauss-Newton step's |(dθ,dx,dy)| ≤
@@ -112,11 +115,17 @@ def icp_match(cfg: ICPConfig, src, src_valid, dst, dst_valid,
         gate = jnp.logical_and(src_valid, nn_d <= cfg.max_corr_dist)
         # Robust outlier rejection (PCL RANSAC threshold 0.05 m, ref:
         # cloud_alignment.cpp:160-195): annealed residual gate at
-        # max(outlier_thresh, outlier_scale·median) — median over the
-        # currently gated correspondences via masked sort.
+        # max(outlier_thresh, outlier_scale·q40) — the 0.4 quantile of
+        # the currently gated correspondences via masked sort. A
+        # quantile BELOW 0.5 keeps the anchor on the inlier mode up to
+        # ~60% contamination of the gated set (advisor r4: the median
+        # tracks the outliers at ≥50% contamination, so rej never
+        # tightened); beyond that the gate degrades gracefully to the
+        # loose max_corr_dist and convergence is rejected by the
+        # rmse/inlier-fraction criteria instead.
         d_masked = jnp.sort(jnp.where(gate, nn_d, big))
         cnt = jnp.sum(gate.astype(jnp.int32))
-        med = d_masked[jnp.maximum(cnt // 2, 0)]
+        med = d_masked[jnp.maximum((2 * cnt) // 5, 0)]
         rej = jnp.maximum(jnp.asarray(cfg.outlier_thresh, src.dtype),
                           cfg.outlier_scale * med)
         w = jnp.logical_and(gate, nn_d <= rej).astype(src.dtype)

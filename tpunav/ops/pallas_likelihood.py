@@ -30,10 +30,11 @@ final quantization of the per-beam log-probabilities — not the gather —
 was the r3 kernel's dominant error. Measured parity vs the XLA gather
 at the bench shape (P=500, k=50, 360 beams): ≤1e-4 in the summed
 log-likelihood (p99 ≈ 2e-5) for every sample whose endpoint does not
-sit ON a cell boundary; the rare boundary sample (~0.04%) can
-floor-flip into the adjacent cell under f32 fusion differences between
-the two programs, bounded by one resolution step of distance (the TPU
-gate asserts p99 ≤ 1e-4 and a flip-bounded max).
+sit ON a cell boundary; the rare boundary sample (~0.04% at the bench
+shape, up to ~0.2% across the gate's world shapes) can floor-flip into
+the adjacent cell under f32 fusion differences between the two
+programs, bounded by one resolution step of distance (the TPU gate
+asserts p99 ≤ 1e-4, a flip-bounded max, and flip rate ≤ 1%).
 """
 
 from __future__ import annotations
@@ -123,17 +124,30 @@ def _lik_pallas(cfg, dist_fields, ranges, samples, interpret=False):
     b = cfg.num_beams
     bp = _round_up(b, _LANES)
     # Prefer ONE chunk (no fori, no k-padding — measured ~6% faster at
-    # bench shape) when the chunk intermediates fit VMEM. They scale
-    # with the field SIDES, not its area: the (H, CH_Q) bf16 row
-    # one-hot costs 2·h·CH_Q bytes and the (W, CH_Q) f32 col-one-hot +
-    # gather result cost 8·w·CH_Q (reviewer r4: an area-based guard let
-    # wide low-aspect maps through to a Mosaic OOM). Budget anchored to
-    # measurement: 80x80 @ 19,200 lanes (15.4 MB by this model)
-    # compiles, 160x160 (30.7 MB) OOMs. Bigger fields use ~3840-lane
-    # chunks (~1 MB scratch), which compile and run at 160x160.
-    if (2 * h + 8 * w) * k * bp <= 16 << 20:
+    # bench shape) when the chunk intermediates fit VMEM. The
+    # side-scaling terms: the (H, CH_Q) bf16 row one-hot costs 2·h·CH_Q
+    # bytes and the (W, CH_Q) f32 col-one-hot + gather result cost
+    # 8·w·CH_Q (reviewer r4: an area-based guard let wide low-aspect
+    # maps through to a Mosaic OOM). The segment matrix adds a
+    # side-INDEPENDENT term, quadratic in k: the (CH_Q, CH_S) f32 input
+    # block + its bf16 in-kernel copy cost 6·k²·bp bytes (advisor r4: a
+    # 40x40 field with k~100 passed the side-only guard while sseg
+    # alone was ~18 MB); iy/ix/mask blocks add 12·k·bp. Budget anchored
+    # to measurement: 80x80 @ 19,200 lanes (15.4 MB by the side terms +
+    # 2.9 MB sseg) compiles, 160x160 OOMs. Bigger fields use ~3840-lane
+    # to measurement: 80x80 @ k=50 (15.4 MB side terms + 5.8 MB sseg +
+    # 0.2 MB blocks = 21.4 MB by this model) compiles, 160x160
+    # (36.7 MB) OOMs — the bound sits between the two. Bigger fields
+    # use ~3840-lane chunks (~1 MB scratch), which compile and run at
+    # 160x160.
+    single_chunk_bytes = ((2 * h + 8 * w) * k * bp    # one-hots + gather
+                          + 6 * k * k * bp            # sseg f32 + bf16
+                          + 12 * k * bp)              # iy/ix/mask blocks
+    if single_chunk_bytes <= 22 << 20:
         ch_s = k
     else:
+        # Chunked path: ch_s bounded so the (ch_s·bp, ch_s) sseg block
+        # stays O(100 KB) for any bp (the quadratic term above).
         ch_s = max(1, 3840 // bp)
     kp = _round_up(k, ch_s)
     n_chunks = kp // ch_s
