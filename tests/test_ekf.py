@@ -195,3 +195,82 @@ def test_landmark_sensor_visibility_and_noise():
     noisy = landmark_measurements(lm, pose, 5.0, key=jax.random.PRNGKey(0),
                                   noise_std=0.01)
     assert not np.allclose(np.asarray(noisy[0]), [1.0, 0.0], atol=1e-6)
+
+
+def test_sparse_h_algebra_matches_dense_jacobian():
+    """The hot paths never materialize H (r5: the update chain runs on
+    5-row slices of σ̄, _hc/_psi_hh/_maha_all) — pin them to the dense
+    (2, S) reference Jacobian (ref: measurementJacobian
+    ekf_filter.cpp:569-597) on a random symmetric covariance."""
+    cfg = EKFConfig(num_landmarks=6)
+    s = cfg.state_size
+    rng = np.random.default_rng(7)
+    state = jnp.asarray(rng.normal(0.0, 1.0, s))
+    a = rng.normal(0.0, 1.0, (s, s))
+    cov = jnp.asarray(a @ a.T + np.eye(s))
+    r_m, b_m = 1.3, 0.4
+    v_i = jnp.zeros(2, cov.dtype)
+    R = jnp.diag(jnp.asarray(cfg.measurement_noise, cov.dtype))
+
+    d_batched = ekff._maha_all(cfg, state, cov, r_m, b_m, v_i,
+                               jnp.ones(6, bool))
+    for j in range(6):
+        jj = jnp.asarray(j, jnp.int32)
+        H = ekff._measurement_jacobian(cfg, state, jj)
+        hc, terms = ekff._hc(s, state, cov, jj)
+        np.testing.assert_allclose(np.asarray(hc), np.asarray(H @ cov),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(ekff._psi_hh(hc, terms, jj)),
+            np.asarray(H @ cov @ H.T), rtol=1e-9, atol=1e-9)
+        z_hat = ekff._predicted_measurement(state, jj, v_i)
+        dz = ekff._innovation(r_m, b_m, z_hat)
+        psi = H @ cov @ H.T + R
+        np.testing.assert_allclose(
+            float(d_batched[j]), float(dz @ ekff._inv2(psi) @ dz),
+            rtol=1e-8)
+
+
+def test_compaction_matches_uncompacted_order():
+    """NaN-interleaved measurements must produce the same filter state as
+    the same VALID measurements alone (the compacted chain skips padding
+    instead of no-op'ing through it)."""
+    cfg = EKFConfig(num_landmarks=8, dmin=5e1, dmax=1e4, spd_repair=False)
+    u = jnp.asarray([0.02, 0.01])
+    rng = np.random.default_rng(3)
+    lms = rng.uniform(-1.0, 1.0, (5, 2))
+
+    def meas_at(pose, pad_rows):
+        c, s = np.cos(pose[0]), np.sin(pose[0])
+        rel = lms - pose[1:3]
+        rf = np.stack([c * rel[:, 0] + s * rel[:, 1],
+                       -s * rel[:, 0] + c * rel[:, 1]], -1)
+        out = np.full((8, 2), np.nan)
+        out[pad_rows] = rf[: len(pad_rows)]
+        return jnp.asarray(out)
+
+    for step in (known_correspondence_slam, slam_unknown_da):
+        st_a = ekf_init(cfg)
+        st_b = ekf_init(cfg)
+        pose = np.zeros(3)
+        for t in range(6):
+            pose = np.array([pose[0] + 0.02,
+                             pose[1] + 0.01 * np.cos(pose[0]),
+                             pose[2] + 0.01 * np.sin(pose[0])])
+            # Same 5 valid measurements; A sees them NaN-interleaved at
+            # scattered rows, B sees them at the front.
+            rows_a = [1, 2, 4, 6, 7] if step is slam_unknown_da \
+                else [0, 1, 2, 3, 4]
+            st_a = step(cfg, st_a, meas_at(pose, rows_a), u)
+            st_b = step(cfg, st_b, meas_at(pose, [0, 1, 2, 3, 4]), u)
+        if step is slam_unknown_da:
+            # Unknown DA ignores slot ids entirely → identical states.
+            np.testing.assert_allclose(np.asarray(st_a.state),
+                                       np.asarray(st_b.state), atol=1e-9)
+            assert int(st_a.count) == int(st_b.count)
+        else:
+            # Known DA: row IS the landmark id, so only the pose path
+            # must agree (different slots hold the same landmarks).
+            np.testing.assert_allclose(np.asarray(st_a.state[:3]),
+                                       np.asarray(st_b.state[:3]),
+                                       atol=1e-6)

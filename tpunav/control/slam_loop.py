@@ -80,9 +80,16 @@ def slam_loop_init(mppi_cfg: MPPIConfig, ekf_cfg: EKFConfig, pose_xyt=None,
 
 def slam_loop_tick(mppi_cfg: MPPIConfig, ekf_cfg: EKFConfig,
                    cfg: SlamLoopConfig, model: CartParams, waypoints,
-                   landmarks, st: SlamLoopState) -> SlamLoopState:
+                   landmarks, st: SlamLoopState,
+                   meas_fn=None) -> SlamLoopState:
     """One fused tick: EKF pose → waypoint advance → MPPI solve → plant →
-    noisy odometry → EKF SLAM update."""
+    noisy odometry → EKF SLAM update.
+
+    ``meas_fn(true_pose_txy, key) -> (M, 2)`` overrides the measurement
+    source (default: the oracle landmark sensor). The dense-world demo
+    passes the full lidar → circle-detector chain here, making the same
+    fused tick run the reference's non-debug perception pipeline
+    (ref: nuslam/src/landmarks_node.cpp feeding slam_node.cpp)."""
     from ..sim.landmark_sensor import landmark_measurements
 
     slam_step = (known_correspondence_slam if cfg.known_da
@@ -124,8 +131,11 @@ def slam_loop_tick(mppi_cfg: MPPIConfig, ekf_cfg: EKFConfig,
 
     # Landmark frame on schedule; NaN rows off-schedule (filter skips).
     true_txy = jnp.stack([true_pose[2], true_pose[0], true_pose[1]])
-    meas = landmark_measurements(landmarks, true_txy, cfg.visibility,
-                                 key=k_meas, noise_std=cfg.meas_noise_std)
+    if meas_fn is None:
+        meas = landmark_measurements(landmarks, true_txy, cfg.visibility,
+                                     key=k_meas, noise_std=cfg.meas_noise_std)
+    else:
+        meas = meas_fn(true_txy, k_meas)
     sense = (st.ticks % cfg.sensor_every) == 0
     meas = jnp.where(sense, meas, jnp.nan)
     ekf = slam_step(ekf_cfg, st.ekf, meas, u_odom)
