@@ -61,6 +61,14 @@ def test_map_update_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_x),
                                atol=1e-5, rtol=1e-5)
 
+    # The standalone EDT kernel (the sharded resample's local rebuild,
+    # r5) must be bit-identical to the fused kernel's distance field on
+    # the same grids — both run _edt_plane.
+    from tpunav.ops.pallas_map_update import edt_batch
+
+    d_alone = edt_batch(CFG, g_k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(d_k), np.asarray(d_alone))
+
 
 def test_likelihood_kernel_multi_chunk_path():
     """k·bp above the single-chunk budget exercises the fori-chunked

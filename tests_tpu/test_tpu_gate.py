@@ -220,6 +220,20 @@ def test_map_update_kernel_compiled_matches_xla(world, p, request):
     np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_x), atol=1e-4)
 
 
+def test_edt_batch_bit_identical_to_fused_kernel(rbpf_world):
+    """The standalone EDT kernel (the sharded RBPF's post-resample local
+    rebuild, r5: half the resample collective) must be BIT-identical to
+    the distance field the fused map-update kernel produced from the
+    same grids — both run _edt_plane on chip."""
+    from tpunav.ops.pallas_map_update import edt_batch, map_update_batch
+
+    cfg, pose, scan = rbpf_world
+    poses, grids, _ = _make_particles(cfg, pose, scan, 8)
+    g_k, d_fused = map_update_batch(cfg, grids, scan, poses)
+    d_alone = edt_batch(cfg, g_k)
+    np.testing.assert_array_equal(np.asarray(d_fused), np.asarray(d_alone))
+
+
 @pytest.mark.parametrize("world,p,k", [("rbpf_world", 8, 12),
                                        ("rbpf_world_bench", 500, 50),
                                        ("rbpf_world_big", 40, 50)])
