@@ -41,7 +41,10 @@ CYL_RADIUS = 0.04          # under the detector's radius_thresh=0.05 gate
 SCAN_NOISE = 1e-3          # lidar range noise [m]
 
 
-def run(slam_step, cfg, known: bool, steps=400, seed=0):
+def make_sim(slam_step, cfg, known: bool, steps=400):
+    """Build the jittable per-seed closed-loop course ``sim(key) →
+    (true_pose, odom, ekf_state, telemetry)`` (vmapped over seeds by
+    :func:`run_many` for the statistical RESULTS table)."""
     lm_cfg = LandmarkConfig(max_clusters=16)
     radii = jnp.full((LANDMARKS.shape[0],), CYL_RADIUS, LANDMARKS.dtype)
     u_true = jnp.asarray([0.03, 0.015], jnp.float32)
@@ -83,6 +86,11 @@ def run(slam_step, cfg, known: bool, steps=400, seed=0):
             body, init, None, length=steps)
         return true_pose, odom, st, tel
 
+    return sim
+
+
+def run(slam_step, cfg, known: bool, steps=400, seed=0):
+    sim = jax.jit(make_sim(slam_step, cfg, known, steps))
     t0 = time.time()
     true_pose, odom, st, tel = jax.block_until_ready(
         sim(jax.random.PRNGKey(seed)))
@@ -90,6 +98,27 @@ def run(slam_step, cfg, known: bool, steps=400, seed=0):
     ekf_err = robot_pose(st) - true_pose
     odo_err = odom[:3] - true_pose
     return ekf_err, odo_err, int(st.count), wall, steps, tel
+
+
+def run_many(slam_step, cfg, known: bool, seeds, steps=400):
+    """vmap the whole course over seeds; returns per-seed
+    (ekf_err (S, 3) [θ,x,y], odo_err (S, 3), counts (S,)) + wall."""
+    from tpunav.core.angles import normalize_angle_pi
+
+    sim = make_sim(slam_step, cfg, known, steps)
+
+    def one(seed):
+        true_pose, odom, st, _ = sim(jax.random.PRNGKey(seed))
+        e = robot_pose(st) - true_pose
+        eo = odom[:3] - true_pose
+        e = e.at[0].set(normalize_angle_pi(e[0]))
+        eo = eo.at[0].set(normalize_angle_pi(eo[0]))
+        return e, eo, st.count
+
+    t0 = time.time()
+    out = jax.block_until_ready(
+        jax.jit(jax.vmap(one))(jnp.asarray(seeds)))
+    return (*out, time.time() - t0)
 
 
 def main():
