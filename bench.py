@@ -282,7 +282,8 @@ def bench_slam_loop(known_da: bool, ticks=240, n=50, rollouts=4096):
                         motion_noise=(1e-6, 1e-6, 1e-6),
                         measurement_noise=(1e-5, 1e-5))
     cfg = SlamLoopConfig(known_da=known_da, sensor_every=1,
-                         visibility=1.2, cycles=1000)
+                         visibility=1.2, cycles=1000,
+                         use_fused=True)     # flagship kernel in the tick
     model = CartParams(0.033, 0.160)
     waypoints = jnp.asarray([[0.4, 0.0, 0.0], [0.3, 0.4, 1.57],
                              [-0.3, 0.3, 3.0], [-0.4, -0.3, -2.0],

@@ -279,10 +279,143 @@ def run_two_process(out_dir, cycles=CYCLES):
             float(lap["steady_cycles_per_sec"]))
 
 
+def _robot_free(port, duration, out_path):
+    """Free-running robot process: every node on its own wall-clock rate
+    (the reference's actual deployment semantics — nodes free-spin at
+    ros::Rate, no lockstep)."""
+    _pin_cpu()
+    import jax.numpy as jnp
+
+    from tpunav.core import diff_drive as dd
+    from tpunav.runtime.channels import Node, Scheduler
+    from tpunav.runtime.net import BusClient
+    from tpunav.sim.landmark_sensor import landmark_measurements
+
+    params = dd.DiffDriveParams(wheel_radius=0.033, wheel_base=0.16)
+    client = BusClient("127.0.0.1", port)
+    ch = {
+        "cmd_vel": client.subscribe("cmd_vel"),
+        "joints": client.advertise("joints"),
+        "landmarks": client.advertise("landmarks"),
+        "odom": client.advertise("odom"),
+    }
+    from tpunav.runtime.channels import Channel
+    from tpunav.runtime.nodes import OdometerNode, TurtleInterfaceNode
+    from tpunav.sim.plant import DiffDrivePlant
+
+    wheel_cmd = Channel("wheel_cmd")
+    sensor = Channel("sensor")
+    plant = DiffDrivePlant(params, wheel_cmd, sensor, sensor_rate_hz=60.0)
+    ti = TurtleInterfaceNode(params, ch["cmd_vel"], wheel_cmd, sensor,
+                             ch["joints"])
+    odo = OdometerNode(params, ch["joints"], ch["odom"])
+
+    def sense(t):
+        meas = landmark_measurements(jnp.asarray(LANDMARKS),
+                                     jnp.asarray(plant.pose), VISIBILITY)
+        ch["landmarks"].publish(np.asarray(meas))
+
+    # Publish one sensor frame so the laptop can boot, then wait for its
+    # first command before starting the clock — bringup handshake (the
+    # laptop pays its jit compiles before either side's window starts;
+    # the reference's nodes similarly idle until topics connect).
+    ch["joints"].publish((0.0, 0.0, 0.0, 0.0))
+    sense(0.0)
+    from tpunav.runtime.net import wait_for_new
+    wait_for_new(ch["cmd_vel"], 0, timeout=120)
+
+    sched = Scheduler(realtime=True)
+    sched.add(Node("turtle_interface", 60.0, ti.tick))
+    sched.add(Node("plant", 60.0, plant.tick))
+    sched.add(Node("odometer", 60.0, odo.tick))
+    sched.add(Node("landmark_sensor", 10.0, sense))
+    sched.run(duration)
+    np.savez(out_path, truth=np.asarray(plant.pose),
+             joints_seq=ch["joints"].seq, cmd_seq=ch["cmd_vel"].seq)
+    client.close()
+
+
+def _laptop_free(port, duration, out_path):
+    """Free-running laptop process: EKF + MPPI driver at 60 Hz each."""
+    jax = _pin_cpu()
+    from tpunav.core import diff_drive as dd
+    from tpunav.runtime.channels import Node, Scheduler
+    from tpunav.runtime.net import BusClient, wait_for_new
+
+    params = dd.DiffDriveParams(wheel_radius=0.033, wheel_base=0.16)
+    client = BusClient("127.0.0.1", port)
+    ch = {
+        "cmd_vel": client.advertise("cmd_vel"),
+        "joints": client.subscribe("joints"),
+        "landmarks": client.subscribe("landmarks"),
+        "odom": client.subscribe("odom"),
+    }
+    waypoints = plan_waypoints(jax)
+    laptop = _build_laptop(jax, params, ch, waypoints)
+    # Wait for the first sensor frame, run one warm tick (pays the EKF +
+    # MPPI jit compiles), and answer the robot's handshake.
+    wait_for_new(ch["joints"], 0, timeout=30)
+    wait_for_new(ch["landmarks"], 0, timeout=30)
+    laptop(0)
+    if ch["cmd_vel"].seq == 0:
+        ch["cmd_vel"].publish(np.zeros(3))
+
+    n = {"ticks": 1}
+
+    def tick(t):
+        laptop(n["ticks"])
+        n["ticks"] += 1
+
+    sched = Scheduler(realtime=True)
+    sched.add(Node("slam+driver", 60.0, tick))
+    sched.run(duration)
+    # slam_pose lives inside the laptop closure; re-derive from cmd count.
+    np.savez(out_path, ticks=n["ticks"], cmd_seq=ch["cmd_vel"].seq,
+             joints_seq=ch["joints"].seq)
+    client.close()
+
+
+def run_free(out_dir, duration=5.0):
+    """Free-running 2-process stack for ``duration`` wall seconds;
+    returns achieved rates (the non-lockstep deployment mode — no parity
+    assert, liveness + rate report)."""
+    import multiprocessing as mp
+
+    from tpunav.runtime.net import BusServer
+
+    srv = BusServer()
+    ctx = mp.get_context("spawn")
+    robot_out = os.path.join(out_dir, "fs2p_free_robot.npz")
+    laptop_out = os.path.join(out_dir, "fs2p_free_laptop.npz")
+    procs = [
+        ctx.Process(target=_robot_free,
+                    args=(srv.port, duration, robot_out)),
+        ctx.Process(target=_laptop_free,
+                    args=(srv.port, duration, laptop_out)),
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=600)
+        assert p.exitcode == 0, f"worker exit {p.exitcode}"
+    srv.close()
+    rob = np.load(robot_out)
+    lap = np.load(laptop_out)
+    return {
+        "joints_rate": float(rob["joints_seq"]) / duration,
+        "cmd_rate": float(rob["cmd_seq"]) / duration,
+        "laptop_ticks": int(lap["ticks"]),
+        "truth": rob["truth"],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="examples/out")
     ap.add_argument("--cycles", type=int, default=CYCLES)
+    ap.add_argument("--free-run", type=float, default=0.0,
+                    help="ALSO run the free-running (wall-clock, "
+                         "non-lockstep) mode for N seconds")
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -301,6 +434,14 @@ def main():
              waypoints=wpts, wall=wall, steady=steady)
     assert d_truth < 1e-9 and d_slam < 1e-9, "trajectory mismatch"
     print("PASS: identical trajectories across the process boundary")
+
+    if args.free_run > 0:
+        fr = run_free(args.out_dir, args.free_run)
+        print(f"free-run {args.free_run:.0f}s: joints "
+              f"{fr['joints_rate']:.0f}/s (nominal 60), cmd_vel "
+              f"{fr['cmd_rate']:.0f}/s, laptop ticks "
+              f"{fr['laptop_ticks']}, truth pose "
+              f"{np.round(fr['truth'], 3)}")
 
 
 if __name__ == "__main__":

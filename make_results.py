@@ -246,12 +246,12 @@ def main(out="RESULTS.md"):
         "map kernel (13.8→2.5 ms, pf step 26.6→15.9 ms). P-sweep: "
         "333/87/48/24 upd/s at P=40/500/1000/2000; 25.3 upd/s at P=500 "
         "on the 160×160 8×8 m map |",
-        "| r5 | see BENCH_r05 | see BENCH_r05 | ~1240 / ~1640 | EKF "
+        "| r5 | 108.1M | 92.4 | 2342 / 1801 (medians 1898/1778) | EKF "
         "measurement chain rewritten: masked compaction (the chain runs "
         "n_valid steps, not capacity) + sparse-H algebra (K and Ψ from "
         "5-row covariance slices, no (2,S)·(S,S) matmuls) — known DA "
-        "628→1240/s, unknown DA 326→1640/s (5×). NEW closed-loop bench "
-        "lines: EKF+MPPI ticks/s for configs 3–4 (≈2000 / ≈900 ticks/s "
+        "628→2342/s, unknown DA 326→1801/s (5.5×). NEW closed-loop bench "
+        "lines: EKF+MPPI ticks/s for configs 3–4 (2194 / 950 ticks/s "
         "at K=4096, n=50). Sharded-RBPF resample payload halved "
         "(ESDF rebuilt locally post-gather, bit-identical). Closed-loop "
         "RBPF re-measured at ~86 upd/s after fixing the measurement "

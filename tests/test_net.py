@@ -114,3 +114,21 @@ def test_two_process_full_stack_matches_single_process(tmp_path):
     assert np.max(np.abs(data["slam2"] - data["slam1"])) < 1e-9
     # The robot actually moved (the MPPI drove it off the start).
     assert np.linalg.norm(data["truth2"][-1][1:]) > 0.05
+
+
+def test_two_process_free_running_rates(tmp_path):
+    """The non-lockstep mode: each process free-spins its nodes on the
+    wall-clock Scheduler (the reference's actual semantics — ros::Rate
+    loops, no barriers). The graph must sustain a healthy fraction of
+    the nominal 60 Hz over the bus (generous bound: shared-CI wall
+    clocks jitter)."""
+    import multiprocessing as mp
+
+    from examples.full_stack_two_process import run_free
+
+    # spawn context + jax-in-children, as the module's main does.
+    duration = 3.0
+    out = run_free(str(tmp_path), duration)
+    assert out["joints_rate"] > 30, out
+    assert out["cmd_rate"] > 30, out
+    assert out["laptop_ticks"] > duration * 30, out

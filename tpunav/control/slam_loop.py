@@ -48,6 +48,10 @@ class SlamLoopConfig:
     meas_noise_std: float = 1e-4
     odom_bias: Tuple[float, float] = (1e-3, 5e-4)   # per-tick (w, vx) bias
     known_da: bool = True
+    # Solver backend, mirroring CourseConfig: False = XLA mppi_solve;
+    # True = the fused Pallas kernel seeded with fused_seed + tick.
+    use_fused: bool = False
+    fused_seed: int = 0
 
 
 class SlamLoopState(NamedTuple):
@@ -110,7 +114,14 @@ def slam_loop_tick(mppi_cfg: MPPIConfig, ekf_cfg: EKFConfig,
     wpt = waypoints[wpt_idx]
 
     key, k_solve, k_meas, k_sense = jax.random.split(st.key, 4)
-    cmd, u = mppi_solve(mppi_cfg, model, st.u, k_solve, est_xyt, wpt)
+    if cfg.use_fused:
+        from ..ops.pallas_mppi import mppi_solve_fused
+
+        seed = jnp.asarray(cfg.fused_seed, jnp.int32) + st.ticks
+        cmd, u = mppi_solve_fused(mppi_cfg, model, st.u, seed, est_xyt,
+                                  wpt)
+    else:
+        cmd, u = mppi_solve(mppi_cfg, model, st.u, k_solve, est_xyt, wpt)
     cmd = jnp.where(done, jnp.zeros_like(cmd), cmd)
 
     # True plant (ref: fake encoders + odometer chain).
