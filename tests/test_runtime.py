@@ -315,3 +315,41 @@ def test_distributed_single_host_noop():
     info = distributed.process_info()
     assert info["process_count"] == 1
     assert info["global_devices"] >= 1
+
+
+def test_live_view_node(tmp_path):
+    """The rviz replacement (r5): renders subscribed state to an
+    atomically-replaced PNG, re-rendering only on fresh publishes."""
+    import os
+
+    import numpy as np
+
+    from tpunav.runtime.channels import Channel
+    from tpunav.runtime.live import LiveViewNode
+
+    slam = Channel("slam_pose")
+    truth = Channel("truth")
+    out = str(tmp_path / "live.png")
+    view = LiveViewNode(out, slam_pose=slam, truth_pose=truth,
+                        landmarks_true=np.array([[1.0, 0.0]]),
+                        bounds=(-1, 2, -1, 1))
+
+    view.tick(0.0)
+    assert view.frames == 0 and not os.path.exists(out)  # nothing published
+
+    slam.publish(np.array([0.0, 0.1, 0.0]))
+    truth.publish(np.array([0.0, 0.11, 0.01]))
+    view.tick(0.1)
+    assert view.frames == 1
+    with open(out, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"      # valid PNG
+
+    # No new publishes → seq-gated, no re-render.
+    mtime = os.path.getmtime(out)
+    view.tick(0.2)
+    assert view.frames == 1 and os.path.getmtime(out) == mtime
+
+    slam.publish(np.array([0.1, 0.2, 0.0]))
+    view.tick(0.3)
+    assert view.frames == 2
+    assert len(view.trails["slam"]) == 2            # trail accumulates
