@@ -56,9 +56,12 @@ def waypoint_ring(n=8, r=1.27):
 
 
 def build(steps=4000, rollouts=2048):
-    landmarks = dense_world()
+    # f32 world everywhere: under an x64-enabled host (the CPU test
+    # suite) default-dtype jnp.linspace would promote the whole fused
+    # course to f64 and break the scan carry types.
+    landmarks = dense_world().astype(jnp.float32)
     radii = jnp.full((landmarks.shape[0],), CYL_RADIUS, jnp.float32)
-    waypoints = waypoint_ring()
+    waypoints = waypoint_ring().astype(jnp.float32)
     lm_cfg = LandmarkConfig(max_clusters=32)
     mppi_cfg = MPPIConfig(horizon=0.4, dt=0.05, rollouts=rollouts,
                           ul_var=4.0, ur_var=4.0)

@@ -10,9 +10,13 @@ criterion mirrors the reference README error tables
 odometry error.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from tpunav.estimation.ekf import (EKFConfig, ekf_init,
                                    known_correspondence_slam, robot_pose,
@@ -120,3 +124,22 @@ def test_landmarks_node_channel_chain():
     assert np.all(d.min(axis=1) < 0.01)
     cx, r, valid = map_ch.latest()
     assert valid.sum() == 2 and np.all(np.abs(r[valid] - 0.04) < 0.01)
+
+
+def test_dense_world_closed_loop_smoke():
+    """Config 4 at scale, shrunk for CI: the 44-cylinder dense world
+    driven by MPPI off the FILTER's pose, all measurements through the
+    lidar → clustering → circle-fit → unknown-DA chain
+    (examples/dense_world_slam_demo.py; full-scale stats in RESULTS.md).
+    The filter must track a growing map and beat dead-reckoning."""
+    import sys
+    sys.path.insert(0, REPO)
+    from examples.dense_world_slam_demo import run
+
+    ekf_err, odo_err, n_lm, wall, steps, tel = run(seed=0, steps=600,
+                                                   rollouts=256)
+    slam_xy = float(np.hypot(ekf_err[1], ekf_err[2]))
+    odo_xy = float(np.hypot(odo_err[1], odo_err[2]))
+    assert n_lm >= 10, n_lm                 # map is growing
+    assert slam_xy < 0.15, slam_xy
+    assert slam_xy < 0.5 * odo_xy, (slam_xy, odo_xy)

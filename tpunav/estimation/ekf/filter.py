@@ -397,6 +397,10 @@ def known_correspondence_slam(cfg: EKFConfig, st: EKFState, meas_xy, u,
     out-of-visibility landmarks and are skipped (ref: :341-345).
     u: (≥2,) body twist [w, vx, ...].
     """
+    # Coerce to the filter dtype: an f64 measurement (e.g. the circle
+    # detector under x64) would otherwise promote the state through
+    # K @ dz and break the fori_loop carry types.
+    meas_xy = jnp.asarray(meas_xy, st.state.dtype)
     n_meas = meas_xy.shape[0]
     w, v = _noise_draws(cfg, key, n_meas, st.state.dtype)
 
@@ -457,6 +461,7 @@ def slam_unknown_da(cfg: EKFConfig, st: EKFState, meas_xy, u,
     add a new landmark (if capacity); in between → ignore (ref: :210-244).
     """
     n = cfg.num_landmarks
+    meas_xy = jnp.asarray(meas_xy, st.state.dtype)   # same coercion
     n_meas = meas_xy.shape[0]
     w, v = _noise_draws(cfg, key, n_meas, st.state.dtype)
 
