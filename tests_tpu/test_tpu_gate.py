@@ -344,3 +344,39 @@ def test_ekf_step_runs_on_tpu():
     assert np.all(np.isfinite(np.asarray(st.state[:7])))
     cov = np.asarray(st.cov)
     np.testing.assert_allclose(cov, cov.T, atol=1e-4)
+
+
+def test_fused_slam_loop_tick_on_tpu():
+    """BASELINE configs 3-4's benched tick on the chip (r5): one fused
+    slam_loop tick — oracle landmark frame → unknown-DA EKF update at
+    n=50 → fused-Pallas K=4096 MPPI solve → plant — compiles, executes,
+    and yields finite state with a live landmark count."""
+    from tpunav.control.mppi import MPPIConfig
+    from tpunav.control.slam_loop import (SlamLoopConfig, slam_loop_init,
+                                          slam_loop_tick)
+    from tpunav.estimation.ekf import EKFConfig
+    from tpunav.models.cart import CartParams
+
+    mppi_cfg = MPPIConfig(horizon=0.5, dt=0.02, rollouts=4096,
+                          ul_var=4.0, ur_var=4.0)
+    ekf_cfg = EKFConfig(num_landmarks=50, dmin=5e1, dmax=1e4,
+                        spd_repair=False,
+                        motion_noise=(1e-6, 1e-6, 1e-6),
+                        measurement_noise=(1e-5, 1e-5))
+    cfg = SlamLoopConfig(known_da=False, sensor_every=1, visibility=1.2,
+                         cycles=1000, use_fused=True)
+    model = CartParams(0.033, 0.160)
+    ang = jnp.linspace(0.0, 2 * jnp.pi, 12, endpoint=False)
+    lms = jnp.stack([0.9 * jnp.cos(ang), 0.9 * jnp.sin(ang)], -1
+                    ).astype(jnp.float32)
+    wpts = jnp.asarray([[0.4, 0.0, 0.0], [-0.4, 0.0, 3.1]], jnp.float32)
+
+    tick = jax.jit(lambda s: slam_loop_tick(mppi_cfg, ekf_cfg, cfg, model,
+                                            wpts, lms, s))
+    st = slam_loop_init(mppi_cfg, ekf_cfg, seed=0)
+    for _ in range(5):
+        st = tick(st)
+    st = jax.block_until_ready(st)
+    assert np.all(np.isfinite(np.asarray(st.true_pose)))
+    assert np.all(np.isfinite(np.asarray(st.ekf.state[:3])))
+    assert int(st.ekf.count) >= 4          # gating built a map on-chip
