@@ -93,14 +93,72 @@ def build(out_png, realtime=True, view_hz=4.0):
     return sched, view, ch
 
 
+def build_rbpf(out_png, realtime=True, view_hz=2.0, num_particles=8):
+    """RBPF variant: the live view shows the best particle's occupancy
+    grid growing as the robot drives a box world (the rviz
+    OccupancyGrid display, ref: turtle_mapping_node's map publishing)."""
+    from tpunav.estimation.rbpf import GridConfig, PFConfig
+    from tpunav.estimation.rbpf.icp import ICPConfig
+    from tpunav.runtime.slam_nodes import RbpfMappingNode
+    from tpunav.sim.lidar import box_segments, scan_segments
+
+    params = dd.DiffDriveParams(wheel_radius=0.033, wheel_base=0.16)
+    # Full LDS-01 sensor (360 beams @ 0.05 m cells): the RBPF needs the
+    # real beam density — at 90-180 beams the per-scan-match bias
+    # (~mm) compounds through the proposal into meter-scale drift
+    # (measured; 360 beams tracks at ~3 cm over the same course).
+    grid_cfg = GridConfig(resolution=0.05, xmin=-1.5, xmax=1.5,
+                          ymin=-1.5, ymax=1.5)
+    pf_cfg = PFConfig(num_particles=num_particles, k_samples=10,
+                      sample_range=(1e-6, 1e-5, 1e-5),
+                      motion_noise=(1e-6, 1e-5, 1e-5),
+                      grid=grid_cfg, icp=ICPConfig(max_iter=15))
+    segs = box_segments(-1.2, -1.2, 1.2, 1.2, jnp.float32)
+    ch = {n: Channel(n) for n in
+          ("cmd_vel", "joints", "scan", "slam_pose", "grid", "truth")}
+
+    encoders = FakeDiffEncodersNode(params, ch["cmd_vel"],
+                                    ch["joints"], rate_hz=20.0)
+    rbpf = RbpfMappingNode(pf_cfg, params, ch["joints"], ch["scan"],
+                           ch["slam_pose"], ch["grid"])
+
+    def sense(t):
+        pose = np.asarray(dd.pose(encoders.state))
+        ch["truth"].publish(pose)
+        ch["scan"].publish(np.asarray(scan_segments(
+            jnp.asarray(pose, jnp.float32), segs,
+            num_beams=grid_cfg.num_beams, max_range=grid_cfg.range_max)))
+
+    def drive(t):
+        # Slow arc — enough motion for the map to grow.
+        ch["cmd_vel"].publish(np.array([0.25, 0.12, 0.0]))
+
+    view = LiveViewNode(out_png, slam_pose=ch["slam_pose"],
+                        truth_pose=ch["truth"], grid=ch["grid"],
+                        grid_cfg=grid_cfg,
+                        bounds=(-1.5, 1.5, -1.5, 1.5),
+                        title="RBPF grid SLAM (live)")
+    sched = Scheduler(realtime=realtime)
+    sched.add(Node("driver", 20.0, drive))
+    sched.add(Node("fake_encoders", 20.0, encoders.tick))
+    sched.add(Node("lidar", 5.0, sense))
+    sched.add(Node("rbpf", 5.0, rbpf.tick))
+    sched.add(Node("live_view", view_hz, view.tick))
+    return sched, view, ch
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=8.0)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(__file__), "out", "live_view.png"))
+    ap.add_argument("--rbpf", action="store_true",
+                    help="RBPF grid-mapping variant (live occupancy map)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    sched, view, ch = build(args.out)
-    print(f"driving for {args.seconds:.0f}s — watch {args.out}")
+    out = args.out or os.path.join(
+        os.path.dirname(__file__), "out",
+        "live_view_rbpf.png" if args.rbpf else "live_view.png")
+    sched, view, ch = (build_rbpf if args.rbpf else build)(out)
+    print(f"driving for {args.seconds:.0f}s — watch {out}")
     sched.run(args.seconds)
     print(f"rendered {view.frames} live frames; final slam pose "
           f"{np.round(np.asarray(ch['slam_pose'].latest()), 3)}")

@@ -46,7 +46,15 @@ from .icp import ICPConfig, icp_match, scan_to_points
 
 @dataclasses.dataclass(frozen=True)
 class PFConfig:
-    """(ref: bmapping/launch/slam.launch:19-46 defaults.)"""
+    """(ref: bmapping/launch/slam.launch:19-46 defaults.)
+
+    Sensor-density caveat (measured, r5): the scan-matched proposal
+    assumes LDS-01-like beam density. At 360 beams/1° the filter holds
+    ~3 cm over a constantly-turning course; at 90-180 beams the ~mm
+    per-match bias of sparse wall sampling compounds through the
+    proposal into meter-scale drift on the same course. Down-beamed
+    configs (some tests use 60-90 beams for speed) are smoke-level
+    only — don't read fidelity from them."""
 
     num_particles: int = 40
     k_samples: int = 50              # samples per proposal mode
