@@ -204,3 +204,92 @@ def test_closed_loop_parity():
     # The loop actually drove toward the goal (30 ticks at 1/60 s with
     # max wheel speed 6.35 rad/s covers at most ~0.1 m).
     assert pose_c[0] > 0.02
+
+
+def test_native_ekf_known_da_matches_jax():
+    """The from-spec C oracle (native/csrc/ekf_ref.cpp) must reproduce
+    ``known_correspondence_slam`` in deterministic f64 mode over a
+    multi-step course with NaN-gated visibility — state, covariance, and
+    active mask (pins the r5 compaction + sparse-H chain to an
+    independent flat-loop implementation of the same spec)."""
+    from tpunav.estimation.ekf import (EKFConfig, ekf_init,
+                                       known_correspondence_slam)
+
+    n = 6
+    cfg = EKFConfig(num_landmarks=n, spd_repair=False,
+                    motion_noise=(1e-6, 1e-6, 1e-6),
+                    measurement_noise=(1e-5, 1e-5))
+    rng = np.random.default_rng(2)
+    lms = rng.uniform(-1.0, 1.0, (n, 2))
+    st = ekf_init(cfg)                      # f64
+    c_state = np.asarray(st.state)
+    c_cov = np.asarray(st.cov)
+    c_active = np.asarray(st.active)
+    u = np.array([0.03, 0.015])
+    pose = np.zeros(3)
+
+    for t in range(10):
+        pose = np.array([pose[0] + u[0],
+                         pose[1] + u[1] * np.cos(pose[0] + u[0]),
+                         pose[2] + u[1] * np.sin(pose[0] + u[0])])
+        ct, s_ = np.cos(pose[0]), np.sin(pose[0])
+        rel = lms - pose[1:3]
+        rf = np.stack([ct * rel[:, 0] + s_ * rel[:, 1],
+                       -s_ * rel[:, 0] + ct * rel[:, 1]], -1)
+        vis = np.linalg.norm(rel, axis=1) < 1.1
+        meas = np.where(vis[:, None], rf + rng.normal(0, 1e-3, rf.shape),
+                        np.nan)
+        st = known_correspondence_slam(cfg, st, jnp.asarray(meas),
+                                       jnp.asarray(u))
+        c_state, c_cov, c_active = native.ekf_known_update(
+            n, cfg.measurement_noise, cfg.motion_noise, c_state, c_cov,
+            c_active, meas, u)
+        np.testing.assert_allclose(np.asarray(st.state), c_state,
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(st.cov), c_cov, atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(st.active), c_active)
+
+
+def test_native_ekf_unknown_da_matches_jax():
+    """Same oracle check for the Mahalanobis-gated path: gating
+    decisions (add/update/ignore), count, state, and covariance must
+    track the JAX chain exactly."""
+    from tpunav.estimation.ekf import (EKFConfig, ekf_init,
+                                       slam_unknown_da)
+
+    n = 8
+    cfg = EKFConfig(num_landmarks=n, dmin=5e1, dmax=1e4,
+                    spd_repair=False,
+                    motion_noise=(1e-5, 1e-5, 1e-5),
+                    measurement_noise=(1e-5, 1e-5))
+    rng = np.random.default_rng(5)
+    lms = rng.uniform(-1.2, 1.2, (6, 2))
+    st = ekf_init(cfg)
+    c_state = np.asarray(st.state)
+    c_cov = np.asarray(st.cov)
+    c_active = np.asarray(st.active)
+    c_count = 0
+    u = np.array([0.02, 0.012])
+    pose = np.zeros(3)
+
+    for t in range(10):
+        pose = np.array([pose[0] + u[0],
+                         pose[1] + u[1] * np.cos(pose[0] + u[0]),
+                         pose[2] + u[1] * np.sin(pose[0] + u[0])])
+        ct, s_ = np.cos(pose[0]), np.sin(pose[0])
+        rel = lms - pose[1:3]
+        rf = np.stack([ct * rel[:, 0] + s_ * rel[:, 1],
+                       -s_ * rel[:, 0] + ct * rel[:, 1]], -1)
+        vis = np.linalg.norm(rel, axis=1) < 1.2
+        meas = np.where(vis[:, None], rf + rng.normal(0, 1e-3, rf.shape),
+                        np.nan)
+        st = slam_unknown_da(cfg, st, jnp.asarray(meas), jnp.asarray(u))
+        c_state, c_cov, c_active, c_count = native.ekf_unknown_update(
+            n, cfg.measurement_noise, cfg.motion_noise, c_state, c_cov,
+            c_active, c_count, cfg.dmin, cfg.dmax, meas, u)
+        assert int(st.count) == c_count, (t, int(st.count), c_count)
+        np.testing.assert_array_equal(np.asarray(st.active), c_active)
+        np.testing.assert_allclose(np.asarray(st.state), c_state,
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(st.cov), c_cov, atol=1e-9)
+    assert c_count >= 5              # the course actually built a map

@@ -14,6 +14,8 @@ from .lib import (  # noqa: F401
     dd_twist_to_wheels,
     dd_update_odometry,
     dd_wheels_to_twist,
+    ekf_known_update,
+    ekf_unknown_update,
     load_library,
     mppi_solve_ref,
     normalize_angle_pi,

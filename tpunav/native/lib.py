@@ -70,6 +70,13 @@ def load_library() -> ctypes.CDLL:
     lib.tpunav_dd_feedforward.argtypes = [_D, _D, _DP, _DP, _DP]
     lib.tpunav_mppi_solve.argtypes = [
         ctypes.POINTER(_CParams), _DP, _DP, _DP, _DP, _DP, _DP]
+    _U8P = ctypes.POINTER(ctypes.c_uint8)
+    _IP = ctypes.POINTER(ctypes.c_int)
+    lib.tpunav_ekf_known_update.argtypes = [
+        ctypes.c_int, _DP, _DP, _DP, _DP, _U8P, _DP, ctypes.c_int, _DP]
+    lib.tpunav_ekf_unknown_update.argtypes = [
+        ctypes.c_int, _DP, _DP, _DP, _DP, _U8P, _IP, _D, _D, _DP,
+        ctypes.c_int, _DP]
     _lib = lib
     return lib
 
@@ -197,3 +204,43 @@ def mppi_solve_ref(params: MPPIRefParams, u, noise, pose, waypoint,
         _ptr(traj) if want_traj else None)
     out = (cmd, u.reshape(n, 2))
     return out + (traj,) if want_traj else out
+
+
+def ekf_known_update(n, meas_noise, motion_noise, state, cov, active,
+                     meas, u):
+    """Native known-DA EKF SLAM step (deterministic mode) — the parity
+    oracle for ``known_correspondence_slam``. Returns updated
+    (state, cov, active)."""
+    s = 3 + 2 * n
+    state = _arr(state, s).copy()
+    cov = _arr(cov, s * s).copy()
+    active = np.ascontiguousarray(np.asarray(active, np.uint8)).copy()
+    meas = _arr(meas)
+    m = meas.size // 2
+    load_library().tpunav_ekf_known_update(
+        n, _ptr(_arr(meas_noise, 2)), _ptr(_arr(motion_noise, 3)),
+        _ptr(state), _ptr(cov),
+        active.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _ptr(meas), m, _ptr(_arr(u, 2)))
+    return state, cov.reshape(s, s), active.astype(bool)
+
+
+def ekf_unknown_update(n, meas_noise, motion_noise, state, cov, active,
+                       count, dmin, dmax, meas, u):
+    """Native unknown-DA (Mahalanobis-gated) EKF SLAM step — the parity
+    oracle for ``slam_unknown_da``. Returns
+    (state, cov, active, count)."""
+    s = 3 + 2 * n
+    state = _arr(state, s).copy()
+    cov = _arr(cov, s * s).copy()
+    active = np.ascontiguousarray(np.asarray(active, np.uint8)).copy()
+    cnt = ctypes.c_int(int(count))
+    meas = _arr(meas)
+    m = meas.size // 2
+    load_library().tpunav_ekf_unknown_update(
+        n, _ptr(_arr(meas_noise, 2)), _ptr(_arr(motion_noise, 3)),
+        _ptr(state), _ptr(cov),
+        active.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(cnt), float(dmin), float(dmax), _ptr(meas), m,
+        _ptr(_arr(u, 2)))
+    return state, cov.reshape(s, s), active.astype(bool), int(cnt.value)
