@@ -25,8 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpunav.control.mppi import MPPIConfig
-from tpunav.control.slam_loop import (SlamLoopConfig, SlamLoopState,
-                                      slam_loop_init, slam_loop_tick)
+from tpunav.control.slam_loop import (SlamLoopConfig, slam_loop_init,
+                                      slam_loop_tick)
 from tpunav.core.angles import normalize_angle_pi
 from tpunav.estimation.ekf import EKFConfig, robot_pose
 from tpunav.estimation.landmarks import (LandmarkConfig,

@@ -31,7 +31,6 @@ Run:  python -m examples.full_stack_two_process --out-dir /tmp/x
 
 import argparse
 import os
-import sys
 
 import numpy as np
 

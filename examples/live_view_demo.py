@@ -26,8 +26,7 @@ from tpunav.core import diff_drive as dd
 from tpunav.estimation.ekf import EKFConfig
 from tpunav.runtime.channels import Channel, Node, Scheduler
 from tpunav.runtime.live import LiveViewNode
-from tpunav.runtime.nodes import (FakeDiffEncodersNode, OdometerNode,
-                                  WaypointDriverNode)
+from tpunav.runtime.nodes import FakeDiffEncodersNode, WaypointDriverNode
 from tpunav.runtime.slam_nodes import EkfSlamNode
 from tpunav.sim.landmark_sensor import landmark_measurements
 

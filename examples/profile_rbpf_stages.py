@@ -137,7 +137,6 @@ def profile_closed_loop(num_particles=500, reps=10):
         os.path.abspath(__file__))))
     from examples.rbpf_explore_demo import (MODEL, TICKS_PER_SCAN,
                                             build as build_explore)
-    from tpunav.control.mppi import MPPIConfig
     from tpunav.control.mppi import init_controls as mppi_init
     from tpunav.estimation.rbpf import pf_init as pf_init_fn, pf_slam_step
     from tpunav.ops.pallas_mppi import mppi_solve_fused

@@ -9,7 +9,6 @@ robot, everything else on the laptop, topics over TCPROS).
 import os
 import subprocess
 import sys
-import threading
 import time
 
 import numpy as np
@@ -122,8 +121,6 @@ def test_two_process_free_running_rates(tmp_path):
     loops, no barriers). The graph must sustain a healthy fraction of
     the nominal 60 Hz over the bus (generous bound: shared-CI wall
     clocks jitter)."""
-    import multiprocessing as mp
-
     from examples.full_stack_two_process import run_free
 
     # spawn context + jax-in-children, as the module's main does.

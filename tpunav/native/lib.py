@@ -10,7 +10,6 @@ from __future__ import annotations
 import ctypes
 import dataclasses
 import hashlib
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional, Sequence, Tuple

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 import tempfile
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
