@@ -114,7 +114,7 @@ def main(out="RESULTS.md"):
         f"{dw_c.std():.1f} of 44 true, waypoints reached "
         f"{dw_v.mean():.1f}",
         f"lidar → clustering+circle-fit detector → capacity-50 gating, "
-        f"K=2048 MPPI closed loop, 4000 ticks @ 20 Hz, odometry bias "
+        f"K=2048 MPPI closed loop, 5000 ticks @ 20 Hz, odometry bias "
         f"1e-4/tick; {N_SEEDS}-seed sweep in {dw_wall:.0f}s (vmapped)",
         "nuslam/README.md:39-50 — the reference's unknown-DA table is a "
         "12-landmark world at visibility 0.6 m; this world is ~4x "
