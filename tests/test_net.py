@@ -72,8 +72,10 @@ def test_bus_payloads_are_arrays_and_tuples():
 
 
 def test_bus_throughput_smoke():
-    """The transport must not be the bottleneck at node rates: ≥2k
-    msgs/s for pose-sized arrays on localhost (the graph needs ~60/s)."""
+    """The transport must not be the bottleneck at node rates: the graph
+    needs ~60 msgs/s; assert a generous 5x margin rather than the ~10k/s
+    a quiet machine measures (reviewer r5: a wall-clock rate assert on a
+    loaded CI host must not flake)."""
     srv = BusServer()
     try:
         a = BusClient(srv.host, srv.port)
@@ -87,7 +89,7 @@ def test_bus_throughput_smoke():
             pub.publish(np.zeros(3))
             _, seen = wait_for_new(sub, seen, timeout=5)
         rate = n / (time.perf_counter() - t0)
-        assert rate > 2000, f"bus round-trip rate {rate:.0f}/s"
+        assert rate > 300, f"bus round-trip rate {rate:.0f}/s"
         a.close()
         b.close()
     finally:

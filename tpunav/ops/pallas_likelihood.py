@@ -133,13 +133,11 @@ def _lik_pallas(cfg, dist_fields, ranges, samples, interpret=False):
     # block + its bf16 in-kernel copy cost 6·k²·bp bytes (advisor r4: a
     # 40x40 field with k~100 passed the side-only guard while sseg
     # alone was ~18 MB); iy/ix/mask blocks add 12·k·bp. Budget anchored
-    # to measurement: 80x80 @ 19,200 lanes (15.4 MB by the side terms +
-    # 2.9 MB sseg) compiles, 160x160 OOMs. Bigger fields use ~3840-lane
     # to measurement: 80x80 @ k=50 (15.4 MB side terms + 5.8 MB sseg +
     # 0.2 MB blocks = 21.4 MB by this model) compiles, 160x160
-    # (36.7 MB) OOMs — the bound sits between the two. Bigger fields
-    # use ~3840-lane chunks (~1 MB scratch), which compile and run at
-    # 160x160.
+    # (36.7 MB) OOMs — the 22 MB bound sits between the two. Bigger
+    # fields use ~3840-lane chunks (~1 MB scratch), which compile and
+    # run at 160x160.
     single_chunk_bytes = ((2 * h + 8 * w) * k * bp    # one-hots + gather
                           + 6 * k * k * bp            # sseg f32 + bf16
                           + 12 * k * bp)              # iy/ix/mask blocks

@@ -19,6 +19,7 @@ actually published (seq-gated, like every other node).
 
 from __future__ import annotations
 
+import collections
 import os
 import tempfile
 from typing import Optional
@@ -50,7 +51,8 @@ class LiveViewNode:
                  grid: Optional[Channel] = None,
                  landmark_est: Optional[Channel] = None,
                  grid_cfg=None, landmarks_true=None, waypoints=None,
-                 obstacles=None, bounds=None, title: str = "tpunav live"):
+                 obstacles=None, bounds=None, title: str = "tpunav live",
+                 max_trail: int = 5000):
         self.path = path
         self.ch = {"slam": slam_pose, "odom": odom_pose,
                    "truth": truth_pose, "grid": grid,
@@ -63,7 +65,11 @@ class LiveViewNode:
         self.obstacles = obstacles
         self.bounds = bounds
         self.title = title
-        self.trails = {"slam": [], "odom": [], "truth": []}
+        # Bounded trails (reviewer r5): an unbounded list leaks memory
+        # and makes every frame re-plot the node's whole history — a
+        # long-running graph would slowly fall behind its view rate.
+        self.trails = {k: collections.deque(maxlen=max_trail)
+                       for k in ("slam", "odom", "truth")}
         self._latest = {}
         self.frames = 0
 

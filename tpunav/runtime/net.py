@@ -75,6 +75,55 @@ def _recv_frame(sock: socket.socket):
     return pickle.loads(data)
 
 
+class _Outbox:
+    """Per-connection latest-wins send queue + its own sender thread.
+
+    Forwarding goes through here rather than a direct ``sendall`` so a
+    slow/stalled subscriber (e.g. a peer sitting in a multi-second jit
+    compile with a full TCP buffer) can never stall the broker or any
+    other client: the handler thread just overwrites the topic's slot
+    and moves on. Dropping intermediate values per topic IS the
+    queue-size-1 contract — the subscriber always ends on the latest.
+    """
+
+    def __init__(self, conn: socket.socket):
+        self._conn = conn
+        self._cond = threading.Condition()
+        self._slots: Dict[str, Tuple[int, Any]] = {}    # topic → (seq, val)
+        self._closed = False
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def offer(self, topic: str, seq: int, val) -> None:
+        with self._cond:
+            if self._closed:
+                return
+            cur = self._slots.get(topic)
+            if cur is None or seq > cur[0]:       # monotonic per topic
+                self._slots[topic] = (seq, val)
+                self._cond.notify()
+
+    def _drain(self):
+        while True:
+            with self._cond:
+                while not self._slots and not self._closed:
+                    self._cond.wait()
+                if self._closed:
+                    return
+                topic, (seq, val) = next(iter(self._slots.items()))
+                del self._slots[topic]
+            try:
+                _send_frame(self._conn, ("msg", topic, seq, val))
+            except OSError:
+                self.close()
+                return
+
+    def close(self):
+        with self._cond:
+            self._closed = True
+            self._cond.notify()
+
+
 class BusServer:
     """Minimal latest-wins topic broker. ``port=0`` picks a free port
     (read it back from ``.port`` — the tests do)."""
@@ -84,7 +133,7 @@ class BusServer:
         self.host, self.port = self._srv.getsockname()[:2]
         self._lock = threading.Lock()
         self._latest: Dict[str, Tuple[int, Any]] = {}   # topic → (seq, val)
-        self._subs: Dict[str, list] = {}                # topic → [socks]
+        self._subs: Dict[str, list] = {}                # topic → [_Outbox]
         self._threads = []
         self._running = True
         self._accept_thread = threading.Thread(target=self._accept_loop,
@@ -104,6 +153,7 @@ class BusServer:
             self._threads.append(t)
 
     def _client_loop(self, conn: socket.socket):
+        outbox = _Outbox(conn)
         try:
             while self._running:
                 try:
@@ -115,35 +165,30 @@ class BusServer:
                 kind = msg[0]
                 if kind == "sub":
                     topic = msg[1]
+                    # Registration + latched enqueue are ATOMIC under
+                    # the lock, and delivery rides the same per-conn
+                    # outbox as forwards — so a publish racing the
+                    # subscribe can never deliver an older seq after a
+                    # newer one (the outbox slot is monotonic).
                     with self._lock:
-                        self._subs.setdefault(topic, []).append(conn)
+                        self._subs.setdefault(topic, []).append(outbox)
                         latched = self._latest.get(topic)
-                    if latched is not None:
-                        seq, val = latched
-                        try:
-                            with self._lock:
-                                _send_frame(conn, ("msg", topic, seq, val))
-                        except OSError:
-                            break
+                        if latched is not None:
+                            outbox.offer(topic, *latched)
                 elif kind == "pub":
                     topic, payload = msg[1], msg[2]
                     with self._lock:
                         seq = self._latest.get(topic, (0, None))[0] + 1
                         self._latest[topic] = (seq, payload)
                         subs = list(self._subs.get(topic, ()))
-                        dead = []
-                        for s in subs:
-                            try:
-                                _send_frame(s, ("msg", topic, seq, payload))
-                            except OSError:
-                                dead.append(s)
-                        for s in dead:
-                            self._subs[topic].remove(s)
+                    for ob in subs:
+                        ob.offer(topic, seq, payload)
         finally:
             with self._lock:
                 for subs in self._subs.values():
-                    if conn in subs:
-                        subs.remove(conn)
+                    if outbox in subs:
+                        subs.remove(outbox)
+            outbox.close()
             conn.close()
 
     def close(self):
@@ -158,17 +203,31 @@ class NetChannel:
     """Channel API over the bus: publish sends to the broker; the
     client's receiver thread fills (value, seq) for subscriptions.
     ``seq`` is broker-stamped → take_new freshness is globally
-    consistent across processes."""
+    consistent across processes.
+
+    ``_state`` updates are single tuple assignments (atomic under the
+    GIL) and MONOTONIC in seq on both the publish and receive paths, so
+    a local publish racing the receiver thread (a channel both
+    advertised and subscribed, or a broker echo) can only move seq
+    forward — take_new never reports stale data as fresh."""
 
     def __init__(self, client: "BusClient", name: str):
         self.name = name
         self._client = client
         self._state: Tuple[int, Any] = (0, None)   # atomic swap under GIL
+        self._pub_lock = threading.Lock()
 
     def publish(self, value) -> None:
         self._client._publish(self.name, value)
-        seq, _ = self._state
-        self._state = (seq + 1, value)
+        with self._pub_lock:
+            seq, _ = self._state
+            self._state = (seq + 1, value)
+
+    def _on_message(self, seq: int, payload) -> None:
+        with self._pub_lock:       # same lock as publish → no regression
+            cur, _ = self._state
+            if seq > cur:
+                self._state = (seq, payload)
 
     @property
     def seq(self) -> int:
@@ -220,7 +279,7 @@ class BusClient:
                 _, topic, seq, payload = msg
                 ch = self._channels.get(topic)
                 if ch is not None:
-                    ch._state = (seq, payload)
+                    ch._on_message(seq, payload)
 
     def advertise(self, topic: str) -> NetChannel:
         ch = self._channels.setdefault(topic, NetChannel(self, topic))
