@@ -114,14 +114,18 @@ class _Outbox:
                 del self._slots[topic]
             try:
                 _send_frame(self._conn, ("msg", topic, seq, val))
-            except OSError:
-                self.close()
+            except Exception:      # OSError, pickle errors, MemoryError…
+                self.close()       # mark dead → broker prunes on publish
                 return
 
     def close(self):
         with self._cond:
             self._closed = True
             self._cond.notify()
+
+    @property
+    def closed(self) -> bool:
+        return self._closed
 
 
 class BusServer:
@@ -134,6 +138,7 @@ class BusServer:
         self._lock = threading.Lock()
         self._latest: Dict[str, Tuple[int, Any]] = {}   # topic → (seq, val)
         self._subs: Dict[str, list] = {}                # topic → [_Outbox]
+        self._conns: set = set()
         self._threads = []
         self._running = True
         self._accept_thread = threading.Thread(target=self._accept_loop,
@@ -147,6 +152,8 @@ class BusServer:
             except OSError:
                 return
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            with self._lock:
+                self._conns.add(conn)
             t = threading.Thread(target=self._client_loop, args=(conn,),
                                  daemon=True)
             t.start()
@@ -165,13 +172,18 @@ class BusServer:
                 kind = msg[0]
                 if kind == "sub":
                     topic = msg[1]
-                    # Registration + latched enqueue are ATOMIC under
-                    # the lock, and delivery rides the same per-conn
-                    # outbox as forwards — so a publish racing the
-                    # subscribe can never deliver an older seq after a
-                    # newer one (the outbox slot is monotonic).
+                    # Registration + latched enqueue happen under the
+                    # lock and delivery rides the same per-conn outbox
+                    # as forwards. The outbox slot is monotonic only
+                    # while occupied, so the WIRE may still reorder
+                    # across a drain; end-to-end ordering is completed
+                    # by NetChannel._on_message's seq guard. Duplicate
+                    # subscribes from one connection register once
+                    # (two nodes in a process sharing a topic).
                     with self._lock:
-                        self._subs.setdefault(topic, []).append(outbox)
+                        subs = self._subs.setdefault(topic, [])
+                        if outbox not in subs:
+                            subs.append(outbox)
                         latched = self._latest.get(topic)
                         if latched is not None:
                             outbox.offer(topic, *latched)
@@ -180,14 +192,19 @@ class BusServer:
                     with self._lock:
                         seq = self._latest.get(topic, (0, None))[0] + 1
                         self._latest[topic] = (seq, payload)
-                        subs = list(self._subs.get(topic, ()))
+                        lst = self._subs.get(topic)
+                        if lst is not None:
+                            lst[:] = [ob for ob in lst if not ob.closed]
+                            subs = list(lst)
+                        else:
+                            subs = []
                     for ob in subs:
                         ob.offer(topic, seq, payload)
         finally:
             with self._lock:
                 for subs in self._subs.values():
-                    if outbox in subs:
-                        subs.remove(outbox)
+                    subs[:] = [ob for ob in subs if ob is not outbox]
+                self._conns.discard(conn)
             outbox.close()
             conn.close()
 
@@ -197,6 +214,16 @@ class BusServer:
             self._srv.close()
         except OSError:
             pass
+        # Close accepted connections too: unblocks their recv loops so
+        # handler + outbox threads tear down instead of lingering
+        # (reviewer r5).
+        with self._lock:
+            conns = list(self._conns)
+        for c in conns:
+            try:
+                c.close()
+            except OSError:
+                pass
 
 
 class NetChannel:
@@ -218,8 +245,13 @@ class NetChannel:
         self._pub_lock = threading.Lock()
 
     def publish(self, value) -> None:
-        self._client._publish(self.name, value)
+        # The wire send sits INSIDE the lock so concurrent local
+        # publishers produce the same order on the wire and in _state —
+        # otherwise the newer seq could locally pair with the older
+        # value and the monotonic echo guard would never correct it
+        # (reviewer r5).
         with self._pub_lock:
+            self._client._publish(self.name, value)
             seq, _ = self._state
             self._state = (seq + 1, value)
 
