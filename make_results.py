@@ -246,13 +246,16 @@ def main(out="RESULTS.md"):
         "map kernel (13.8→2.5 ms, pf step 26.6→15.9 ms). P-sweep: "
         "333/87/48/24 upd/s at P=40/500/1000/2000; 25.3 upd/s at P=500 "
         "on the 160×160 8×8 m map |",
-        "| r5 | 108.1M | 92.4 | 2342 / 1801 (medians 1898/1778) | EKF "
+        "| r5 | 108.1M | 113 | 2342 / 1801 (medians 1898/1778) | EKF "
         "measurement chain rewritten: masked compaction (the chain runs "
         "n_valid steps, not capacity) + sparse-H algebra (K and Ψ from "
         "5-row covariance slices, no (2,S)·(S,S) matmuls) — known DA "
         "628→2342/s, unknown DA 326→1801/s (5.5×). NEW closed-loop bench "
         "lines: EKF+MPPI ticks/s for configs 3–4 (2194 / 950 ticks/s "
-        "at K=4096, n=50). Sharded-RBPF resample payload halved "
+        "at K=4096, n=50). Map-update kernel hot loops Python-unrolled to static-index selects "
+        "(7.2→5.2 ms at P=500): RBPF 91→113 upd/s; P-sweep 337/113/63/32 "
+        "at P=40/500/1000/2000 (319× the reference budget at P=2000) and "
+        "25.3→41.9 upd/s on the 160×160 8×8 m map. Sharded-RBPF resample payload halved "
         "(ESDF rebuilt locally post-gather, bit-identical). Closed-loop "
         "RBPF re-measured at ~86 upd/s after fixing the measurement "
         "artifacts decomposed above |",
