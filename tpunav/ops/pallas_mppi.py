@@ -24,6 +24,14 @@ Measured scaling is latency-dominated: the ~150 short sequential VPU ops
 (N rollout steps + N cost-to-go adds + N softmax reductions) cost more
 than the per-rollout math, so quadrupling K costs only ~20% — which is
 why the kernel maximizes K per chip instead of micro-optimizing flops.
+
+Tried and rejected (r5): Python-unrolling the horizon loops the way the
+map-update kernel unrolls its beam gather. The full rollout unroll keeps
+~N iterations of temporaries live and blows the Mosaic VMEM stack
+(29 MB > 16 MB at K=49,152); unrolling only the small cost-to-go/update
+loops measured +0.3% (inside tunnel noise) while compile time went
+2.6 s → 23 s. The rollout body is large enough that fori bookkeeping is
+noise here — unlike the map kernel's 360 two-op select iterations.
 """
 
 from __future__ import annotations
