@@ -131,3 +131,44 @@ def test_two_process_free_running_rates(tmp_path):
     assert out["joints_rate"] > 30, out
     assert out["cmd_rate"] > 30, out
     assert out["laptop_ticks"] > duration * 30, out
+
+
+def test_bus_burst_coalesces_to_latest():
+    """A fast publish burst must coalesce in the per-connection outbox
+    (latest-wins under backpressure — reviewer r5 rework): the
+    subscriber always converges to the final value and seq, regardless
+    of how many intermediates were dropped on the way."""
+    srv = BusServer()
+    try:
+        a = BusClient(srv.host, srv.port)
+        b = BusClient(srv.host, srv.port)
+        sub = b.subscribe("burst")
+        pub = a.advertise("burst")
+        n = 500
+        for i in range(n):
+            pub.publish(np.array([float(i)]))
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            if sub.seq == n and float(sub.latest()[0]) == n - 1:
+                break
+            time.sleep(0.002)
+        assert sub.seq == n, sub.seq
+        np.testing.assert_array_equal(sub.latest(), [float(n - 1)])
+        a.close()
+        b.close()
+    finally:
+        srv.close()
+
+
+def test_bus_server_close_unblocks_clients():
+    """BusServer.close() must close accepted connections too (reviewer
+    r5: previously only the listener closed, leaving client recv loops
+    and outbox threads alive indefinitely)."""
+    srv = BusServer()
+    a = BusClient(srv.host, srv.port)
+    sub = a.subscribe("t")
+    srv.close()
+    # The client's receiver thread sees EOF and exits promptly.
+    a._recv_thread.join(timeout=5.0)
+    assert not a._recv_thread.is_alive()
+    a.close()
