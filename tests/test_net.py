@@ -166,7 +166,7 @@ def test_bus_server_close_unblocks_clients():
     and outbox threads alive indefinitely)."""
     srv = BusServer()
     a = BusClient(srv.host, srv.port)
-    sub = a.subscribe("t")
+    a.subscribe("t")
     srv.close()
     # The client's receiver thread sees EOF and exits promptly.
     a._recv_thread.join(timeout=5.0)
