@@ -35,6 +35,13 @@ shape, up to ~0.2% across the gate's world shapes) can floor-flip into
 the adjacent cell under f32 fusion differences between the two
 programs, bounded by one resolution step of distance (the TPU gate
 asserts p99 ≤ 1e-4, a flip-bounded max, and flip rate ≤ 1%).
+
+Tried and rejected (r5): banding cp=4 particles per grid program
+(sequential in-kernel, shared intermediates) to amortize per-program
+dispatch — measured 5.2 → 5.05 ms at P=500 (−3%): the kernel is bound
+by materializing the one-hot operands (~3M VPU compare/convert ops per
+program), not by program dispatch, so the added block plumbing isn't
+worth 3%.
 """
 
 from __future__ import annotations
