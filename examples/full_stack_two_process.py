@@ -365,12 +365,23 @@ def _laptop_free(port, duration, out_path):
         laptop(n["ticks"])
         n["ticks"] += 1
 
+    # Live view fed by a NetChannel (the robot's odom topic ACROSS the
+    # bus) — the rviz stand-in watching a remote machine's stream, like
+    # the reference's laptop rviz in basic_remote.launch.
+    from tpunav.runtime.live import LiveViewNode
+    view = LiveViewNode(
+        os.path.join(os.path.dirname(out_path), "fs2p_live.png"),
+        odom_pose=ch["odom"], landmarks_true=LANDMARKS,
+        waypoints=waypoints, obstacles=[np.asarray(o) for o in OBSTACLES],
+        bounds=(-0.4, 1.6, -0.8, 1.3), title="2-process stack (live)")
+
     sched = Scheduler(realtime=True)
     sched.add(Node("slam+driver", 60.0, tick))
+    sched.add(Node("live_view", 2.0, view.tick))
     sched.run(duration)
     # slam_pose lives inside the laptop closure; re-derive from cmd count.
     np.savez(out_path, ticks=n["ticks"], cmd_seq=ch["cmd_vel"].seq,
-             joints_seq=ch["joints"].seq)
+             joints_seq=ch["joints"].seq, view_frames=view.frames)
     client.close()
 
 
@@ -404,6 +415,7 @@ def run_free(out_dir, duration=5.0):
         "joints_rate": float(rob["joints_seq"]) / duration,
         "cmd_rate": float(rob["cmd_seq"]) / duration,
         "laptop_ticks": int(lap["ticks"]),
+        "view_frames": int(lap["view_frames"]),
         "truth": rob["truth"],
     }
 

@@ -131,6 +131,9 @@ def test_two_process_free_running_rates(tmp_path):
     assert out["joints_rate"] > 30, out
     assert out["cmd_rate"] > 30, out
     assert out["laptop_ticks"] > duration * 30, out
+    # The rviz stand-in rendered live frames from a NetChannel stream.
+    assert out["view_frames"] >= 2, out
+    assert os.path.exists(os.path.join(str(tmp_path), "fs2p_live.png"))
 
 
 def test_bus_burst_coalesces_to_latest():
