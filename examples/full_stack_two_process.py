@@ -375,9 +375,15 @@ def _laptop_free(port, duration, out_path):
         waypoints=waypoints, obstacles=[np.asarray(o) for o in OBSTACLES],
         bounds=(-0.4, 1.6, -0.8, 1.3), title="2-process stack (live)")
 
+    import matplotlib                      # pay the import before the
+    matplotlib.use("Agg")                  # clock starts, not mid-run
+
     sched = Scheduler(realtime=True)
     sched.add(Node("slam+driver", 60.0, tick))
-    sched.add(Node("live_view", 2.0, view.tick))
+    # 1 Hz: a matplotlib render costs ~0.3-0.5 s on a contended host and
+    # the Scheduler is single-threaded (like every reference node) — at
+    # 2 Hz the renders crowd out control ticks in short runs.
+    sched.add(Node("live_view", 1.0, view.tick))
     sched.run(duration)
     # slam_pose lives inside the laptop closure; re-derive from cmd count.
     np.savez(out_path, ticks=n["ticks"], cmd_seq=ch["cmd_vel"].seq,

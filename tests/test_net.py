@@ -126,13 +126,13 @@ def test_two_process_free_running_rates(tmp_path):
     from examples.full_stack_two_process import run_free
 
     # spawn context + jax-in-children, as the module's main does.
-    duration = 3.0
+    duration = 5.0
     out = run_free(str(tmp_path), duration)
     assert out["joints_rate"] > 30, out
     assert out["cmd_rate"] > 30, out
     assert out["laptop_ticks"] > duration * 30, out
     # The rviz stand-in rendered live frames from a NetChannel stream.
-    assert out["view_frames"] >= 2, out
+    assert out["view_frames"] >= 1, out
     assert os.path.exists(os.path.join(str(tmp_path), "fs2p_live.png"))
 
 
